@@ -1,0 +1,158 @@
+"""The renderer: pure, jittable, differentiable ``render(scene, camera) -> image``.
+
+Replaces the reference's per-pixel stack-machine recursion engine
+(raytrace_compute.glsl:844-1105) with two idiomatic-XLA strategies:
+
+  * ``trace_rays``  — a *static tree unroll*: at each depth the reflection and
+    refraction children are traced for all rays (masked afterwards), exactly
+    reproducing the reference's blend
+    ``mix(mix(phong, reflected, reflectivity), refracted, transparency)``
+    (:1042-1051). Cost is O(2^depth) ray casts but depth is small and static
+    (the reference ships with MAX_RAYTRACE_DEPTH = 0, :22).
+  * ``trace_rays_mirror`` — a linear ``lax.scan`` over bounce levels for
+    reflection-only scenes: contribution_i = phong_i * (1 - rho_i) * prod(rho_j)
+    with the final bounce contributing its full phong. Mathematically equal to
+    the tree version when no object is transparent, at O(depth) cost — the
+    fast path for deep mirror chains (benchmark config 4).
+
+Reference quirks preserved:
+  * A miss returns black — the stack element breaks at phase 0 and pops with
+    final_color = 0 (:961-963, :1104).
+  * A refraction child is traced whenever transparency > 0, even under total
+    internal reflection where GLSL refract() returns the zero vector (:1023);
+    a zero-direction ray misses everything here (qa guard) => black child,
+    matching the GLSL's effective behavior.
+  * Children spawned from *missed* parents don't contribute (masked), like
+    rays never pushed on the stack.
+
+No runaway-loop guard is needed: recursion depth is static, so the reference's
+10,000-iteration red-pixel failsafe (:1096-1101) has no analog — termination
+is guaranteed by construction.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from openglraytracer_tpu.models.scene import AIR_IOR, Camera, Scene
+from openglraytracer_tpu.ops.intersect import closest_hit
+from openglraytracer_tpu.ops.raygen import generate_rays
+from openglraytracer_tpu.ops.shading import gather_materials, phong_shade
+from openglraytracer_tpu.ops.transforms import reflect, refract
+
+BOUNCE_EPS = 1.0e-3  # reflection/refraction origin offset (:989, :1011)
+
+
+def _mix(a, b, w):
+    """GLSL mix(a, b, w) = a*(1-w) + b*w."""
+    return a * (1.0 - w) + b * w
+
+
+def trace_rays(scene: Scene, origins, dirs, depth: int = 0,
+               chunk_size: int = 512, remat: bool = False) -> jnp.ndarray:
+    """Trace rays through the scene with full reflection+refraction tree.
+
+    origins, dirs: (R, 3), dirs normalized. Returns colors (R, 3).
+    """
+    hit = closest_hit(scene, origins, dirs, chunk_size=chunk_size, remat=remat)
+    color = phong_shade(scene, dirs, hit, chunk_size=chunk_size, remat=remat)
+
+    if depth > 0:
+        mat = gather_materials(scene, hit.material_id)
+
+        # Reflection pass (:979-997)
+        refl_org = hit.p + hit.n * BOUNCE_EPS
+        refl_dir = reflect(dirs, hit.n)
+        refl_color = trace_rays(scene, refl_org, refl_dir, depth - 1,
+                                chunk_size=chunk_size, remat=remat)
+        do_refl = (hit.hit & (mat.reflectivity > 0.0))[:, None]
+        color = jnp.where(do_refl,
+                          _mix(color, refl_color, mat.reflectivity[:, None]),
+                          color)
+
+        # Refraction pass (:1001-1030)
+        refr_org = hit.p - hit.n * BOUNCE_EPS
+        ratio = jnp.where(hit.inside,
+                          mat.refraction_index / AIR_IOR,
+                          AIR_IOR / mat.refraction_index)
+        refr_dir = refract(dirs, hit.n, ratio[:, None])
+        refr_color = trace_rays(scene, refr_org, refr_dir, depth - 1,
+                                chunk_size=chunk_size, remat=remat)
+        do_refr = (hit.hit & (mat.transparency > 0.0))[:, None]
+        color = jnp.where(do_refr,
+                          _mix(color, refr_color, mat.transparency[:, None]),
+                          color)
+
+    return jnp.where(hit.hit[:, None], color, 0.0)
+
+
+def trace_rays_mirror(scene: Scene, origins, dirs, depth: int,
+                      chunk_size: int = 512, remat: bool = True) -> jnp.ndarray:
+    """Reflection-only bounce chain via lax.scan (O(depth) ray casts).
+
+    Equivalent to ``trace_rays`` when every material has transparency == 0.
+    """
+    r = origins.shape[0]
+    dtype = origins.dtype
+
+    def body(carry, level):
+        o, d, throughput, accum = carry
+        hit = closest_hit(scene, o, d, chunk_size=chunk_size, remat=remat)
+        phong = phong_shade(scene, d, hit, chunk_size=chunk_size, remat=remat)
+        phong = jnp.where(hit.hit[:, None], phong, 0.0)
+
+        mat_refl = scene.materials.reflectivity[hit.material_id]
+        is_last = level >= depth
+        do_refl = hit.hit & (mat_refl > 0.0) & (~is_last)
+        weight = jnp.where(do_refl, mat_refl, 0.0)[:, None]
+
+        accum = accum + throughput * phong * (1.0 - weight)
+        throughput = throughput * weight
+
+        o_next = jnp.where(do_refl[:, None], hit.p + hit.n * BOUNCE_EPS, o)
+        d_next = jnp.where(do_refl[:, None], reflect(d, hit.n), d)
+        return (o_next, d_next, throughput, accum), None
+
+    init = (origins, dirs, jnp.ones((r, 1), dtype), jnp.zeros((r, 3), dtype))
+    body_fn = jax.checkpoint(body) if remat else body
+    (_, _, _, accum), _ = jax.lax.scan(
+        body_fn, init, jnp.arange(depth + 1), length=depth + 1)
+    return accum
+
+
+@partial(jax.jit, static_argnames=("height", "width", "depth", "chunk_size",
+                                   "remat", "row_block", "mirror_only"))
+def render(scene: Scene, camera: Camera, height: int, width: int,
+           depth: int = 0, chunk_size: int = 512, remat: bool = False,
+           row_block: int | None = None,
+           mirror_only: bool = False) -> jnp.ndarray:
+    """Render an (H, W, 3) image. Pure function of (scene, camera) — the
+    reference's statelessness (everything recomputed from `time` each frame,
+    SURVEY.md §5 checkpoint entry) preserved by construction.
+
+    row_block: trace rays in blocks of `row_block` image rows via lax.map to
+    bound peak memory at high resolutions (the XLA analog of tiling).
+    """
+    origins, dirs = generate_rays(camera, height, width)
+    o = origins.reshape(-1, 3)
+    d = dirs.reshape(-1, 3)
+
+    tracer = (trace_rays_mirror if mirror_only else trace_rays)
+
+    if row_block is None or row_block >= height:
+        colors = tracer(scene, o, d, depth, chunk_size=chunk_size, remat=remat)
+    else:
+        assert height % row_block == 0, "row_block must divide height"
+        nblocks = height // row_block
+        ob = o.reshape(nblocks, row_block * width, 3)
+        db = d.reshape(nblocks, row_block * width, 3)
+        colors = jax.lax.map(
+            lambda od: tracer(scene, od[0], od[1], depth,
+                              chunk_size=chunk_size, remat=remat),
+            (ob, db))
+        colors = colors.reshape(-1, 3)
+
+    return colors.reshape(height, width, 3)

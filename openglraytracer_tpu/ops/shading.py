@@ -1,0 +1,88 @@
+"""Phong ADS shading with hard shadow rays.
+
+Reimplements the reference's ads_phong_lighting (raytrace_compute.glsl:789-840)
+as dense vectorized math over all rays at once, preserving its quirks:
+
+  * The shadow ray direction is the *unnormalized* segment light_pos - p
+    (:809) so an occluder strictly between surface and light shows up as a hit
+    with t < 1 (:816). The shadow origin is offset by 0.01 * n (:808).
+  * All four color channels accumulate; the returned RGB is
+    ``phong.rgb * phong.a`` (:839) — alpha participates in shading.
+  * Every light spawns a shadow ray, including the ambient-only "world light"
+    whose position (0.1,0.1,0.1) still occludes diffuse/specular (:798-819).
+
+Lights are iterated with a static Python loop (light counts are small and
+static); each light's occlusion query is a normal-free any_hit pass.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from openglraytracer_tpu.models.scene import Scene
+from openglraytracer_tpu.ops.intersect import Hit, _safe_normalize, any_hit
+from openglraytracer_tpu.ops.transforms import reflect
+
+_POW_EPS = 1.0e-12
+SHADOW_EPS = 0.01  # reference :808
+
+
+def _safe_pow(base, exponent):
+    """pow(max(base, 0), e) with gradients defined at base <= 0."""
+    safe_base = jnp.maximum(base, _POW_EPS)
+    val = jnp.exp(exponent * jnp.log(safe_base))
+    return jnp.where(base > 0.0, val, 0.0)
+
+
+def gather_materials(scene: Scene, material_id):
+    """Gather per-ray material rows. Returns a Materials-like namedtuple of
+    (R, ...) arrays."""
+    return scene.materials._replace(
+        ambient=scene.materials.ambient[material_id],
+        diffuse=scene.materials.diffuse[material_id],
+        specular=scene.materials.specular[material_id],
+        shininess=scene.materials.shininess[material_id],
+        emissive=scene.materials.emissive[material_id],
+        reflectivity=scene.materials.reflectivity[material_id],
+        transparency=scene.materials.transparency[material_id],
+        refraction_index=scene.materials.refraction_index[material_id],
+    )
+
+
+def phong_shade(scene: Scene, dirs, hit: Hit, chunk_size: int = 512,
+                remat: bool = False) -> jnp.ndarray:
+    """ADS Phong color for each ray's hit. dirs: (R, 3) incident ray dirs
+    (normalized). Returns (R, 3); garbage-but-finite on misses (caller masks).
+    """
+    mat = gather_materials(scene, hit.material_id)
+    lights = scene.lights
+
+    ambient = jnp.zeros_like(mat.ambient)     # (R, 4)
+    diffuse = jnp.zeros_like(mat.diffuse)
+    specular = jnp.zeros_like(mat.specular)
+
+    view_dir = _safe_normalize(-dirs)         # normalize(-r.dir) (:827)
+
+    for j in range(lights.count):
+        lpos = lights.position[j]
+        ambient = ambient + lights.ambient[j] * mat.ambient
+
+        to_light = lpos - hit.p               # unnormalized segment (:809)
+        light_dir = _safe_normalize(to_light)
+
+        shadow_org = hit.p + hit.n * SHADOW_EPS
+        occluded = any_hit(scene, shadow_org, to_light, max_t=1.0,
+                           chunk_size=chunk_size, remat=remat)
+        lit = (~occluded)[:, None].astype(dirs.dtype)
+
+        light_ref = _safe_normalize(reflect(-light_dir, hit.n))
+        cos_theta = jnp.sum(light_dir * hit.n, axis=-1, keepdims=True)
+        cos_phi = jnp.sum(view_dir * light_ref, axis=-1, keepdims=True)
+
+        diffuse = diffuse + lit * lights.diffuse[j] * mat.diffuse \
+            * jnp.maximum(cos_theta, 0.0)
+        specular = specular + lit * lights.specular[j] * mat.specular \
+            * _safe_pow(cos_phi, mat.shininess[:, None])
+
+    phong = ambient + diffuse + specular + mat.emissive
+    return phong[..., :3] * phong[..., 3:4]   # rgb * alpha (:839)

@@ -1,0 +1,90 @@
+"""Golden-image tests: the JAX renderer vs the NumPy oracle.
+
+Comparison semantics: fp32-vs-fp64 hit/miss discretization differs on grazing
+rays at object silhouettes, so a tiny fraction of edge pixels may disagree
+entirely. We require >= 99.5% of pixels within tolerance and a small mean
+error, which catches any real math bug while tolerating silhouette noise.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from openglraytracer_tpu.models.animated import reference_frame
+from openglraytracer_tpu.models.builders import (
+    eight_sphere_scene,
+    mirror_scene,
+    single_sphere_scene,
+)
+from openglraytracer_tpu.models.scene import make_camera
+from openglraytracer_tpu.ops.render import render
+from openglraytracer_tpu.utils import oracle
+
+
+def _compare(got, want, tol=2e-3, frac=0.995, mean_tol=1e-4):
+    got = np.asarray(got, np.float64)
+    err = np.abs(got - want).max(-1)
+    ok = (err < tol).mean()
+    assert ok >= frac, f"only {ok:.4%} pixels within {tol}; max err {err.max()}"
+    assert err.mean() < mean_tol, f"mean err {err.mean()}"
+
+
+def test_config1_single_sphere_plane():
+    scene, cam = single_sphere_scene()
+    got = render(scene, cam, 64, 64)
+    want = oracle.render(scene, cam, 64, 64)
+    _compare(got, want)
+
+
+def test_config2_eight_spheres_two_lights():
+    scene, cam = eight_sphere_scene()
+    got = render(scene, cam, 96, 96)
+    want = oracle.render(scene, cam, 96, 96)
+    _compare(got, want)
+
+
+def test_config4_mirror_one_bounce():
+    scene, cam = mirror_scene()
+    got = render(scene, cam, 64, 64, depth=1)
+    want = oracle.render(scene, cam, 64, 64, depth=1)
+    _compare(got, want, frac=0.99)
+
+
+def test_reference_animated_scene_depth0():
+    """Port-fidelity: the GLSL's 5-object animated world at a fixed time,
+    including OBBs, 3 lights, and the ambient-light shadow quirk."""
+    scene, cam = reference_frame(2.3)
+    got = render(scene, cam, 72, 128)
+    want = oracle.render(scene, cam, 72, 128)
+    _compare(got, want, frac=0.99, mean_tol=3e-4)
+
+
+def test_reference_animated_scene_depth2_tree():
+    """Reflection+refraction tree at depth 2 vs the oracle's true recursion."""
+    scene, cam = reference_frame(0.9)
+    got = render(scene, cam, 36, 64, depth=2)
+    want = oracle.render(scene, cam, 36, 64, depth=2)
+    _compare(got, want, frac=0.985, mean_tol=1e-3)
+
+
+def test_mirror_scan_equals_tree():
+    """trace_rays_mirror (lax.scan chain) == trace_rays (tree) when no object
+    is transparent."""
+    scene, cam = mirror_scene()
+    a = render(scene, cam, 48, 48, depth=3, mirror_only=False)
+    b = render(scene, cam, 48, 48, depth=3, mirror_only=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_row_block_invariance():
+    scene, cam = eight_sphere_scene()
+    a = render(scene, cam, 64, 64)
+    b = render(scene, cam, 64, 64, row_block=16)
+    # lax.map changes XLA fusion boundaries -> few-ulp differences only
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_miss_is_black():
+    scene, cam = single_sphere_scene()
+    cam = make_camera((0.0, -7.0, 2.5), angles=(80.0, 0.0, 0.0), aspect=1.0)
+    img = np.asarray(render(scene, cam, 16, 16))
+    assert (img[-1] == 0).all()  # sky pixels black (reference miss semantics)
