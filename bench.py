@@ -1,0 +1,79 @@
+"""Benchmark: the north-star metric (BASELINE.json) on real hardware.
+
+Measures Mrays/s/chip for forward+backward at 1024x1024 on the 64-sphere grid
+scene (config 3): one value_and_grad of a pixel MSE w.r.t. all trainable scene
+parameters per frame. Ray accounting matches BASELINE.md's derivation for the
+reference (primary + per-light shadow casts): (1 + n_lights) * H * W rays per
+forward pass; the backward pass is included in the time but not double-counted
+as rays, exactly like the baseline's implied-throughput row counts only casts.
+
+vs_baseline: the reference's only derivable number is ~55 Mrays/s
+(primary+shadow at vsync-locked 60 FPS, 1280x720, 3 lights — BASELINE.md),
+and that is *forward only* on an unspecified GPU; we report our
+forward+backward rate against it.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from openglraytracer_tpu.models.builders import sphere_grid_scene
+    from openglraytracer_tpu.train.inverse import (
+        DEFAULT_TRAINABLE, apply_params, extract_params)
+    from openglraytracer_tpu.ops.raygen import generate_rays
+    from openglraytracer_tpu.ops.render import trace_rays
+
+    height = width = 1024
+    depth = 0
+    scene, cam = sphere_grid_scene(8)
+    n_lights = scene.lights.count
+
+    origins, dirs = generate_rays(cam, height, width)
+    o = origins.reshape(-1, 3)
+    d = dirs.reshape(-1, 3)
+    target = jnp.zeros((height * width, 3), jnp.float32)
+
+    params = extract_params(scene, DEFAULT_TRAINABLE)
+
+    def loss_fn(params, scene, target):
+        s = apply_params(scene, params)
+        img = trace_rays(s, o, d, depth=depth)
+        return jnp.mean(jnp.square(img - target))
+
+    fwd_bwd = jax.jit(jax.value_and_grad(loss_fn))
+
+    # Warmup/compile
+    loss, grads = fwd_bwd(params, scene, target)
+    jax.block_until_ready((loss, grads))
+
+    times = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        loss, grads = fwd_bwd(params, scene, target)
+        jax.block_until_ready((loss, grads))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    dt = times[len(times) // 2]
+
+    rays = height * width * (1 + n_lights)
+    mrays = rays / dt / 1.0e6
+    baseline_mrays = 55.0  # BASELINE.md implied reference throughput (fwd only)
+
+    print(json.dumps({
+        "metric": "mrays_per_sec_per_chip_fwd_bwd_1024",
+        "value": round(mrays, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / baseline_mrays, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -304,14 +304,14 @@ def closest_hit(scene: Scene, origins, dirs, chunk_size: int = 512,
         valid = _pad_to(jnp.ones((n_obj,), bool), padded, False)
 
         @maybe_ckpt
-        def sph_chunk(best, s):
-            sl = slice(s, s + csize)
-            t, n, inside = sphere_candidates(origins, dirs, center[sl],
-                                             radius[sl], valid[sl])
-            return _fold_chunk(best, t, n, inside, mat[sl], 0, s)
+        def sph_chunk(best, c, r, v, m, base):
+            t, n, inside = sphere_candidates(origins, dirs, c, r, v)
+            return _fold_chunk(best, t, n, inside, m, 0, base)
 
         for s in range(0, padded, csize):
-            best = sph_chunk(best, s)
+            sl = slice(s, s + csize)
+            best = sph_chunk(best, center[sl], radius[sl], valid[sl],
+                             mat[sl], s)
 
     box: Boxes = scene.boxes
     if box.count:
@@ -328,14 +328,14 @@ def closest_hit(scene: Scene, origins, dirs, chunk_size: int = 512,
         base = sph.count
 
         @maybe_ckpt
-        def box_chunk(best, s):
-            sl = slice(s, s + csize)
-            t, n, inside = box_candidates(origins, dirs, mins[sl], maxs[sl],
-                                          pos[sl], rot[sl], valid[sl])
-            return _fold_chunk(best, t, n, inside, mat[sl], base, s)
+        def box_chunk(best, mn, mx, ps, rt, v, m, cs):
+            t, n, inside = box_candidates(origins, dirs, mn, mx, ps, rt, v)
+            return _fold_chunk(best, t, n, inside, m, base, cs)
 
         for s in range(0, padded, csize):
-            best = box_chunk(best, s)
+            sl = slice(s, s + csize)
+            best = box_chunk(best, mins[sl], maxs[sl], pos[sl], rot[sl],
+                             valid[sl], mat[sl], s)
 
     pln: Planes = scene.planes
     if pln.count:
@@ -381,14 +381,14 @@ def any_hit(scene: Scene, origins, dirs, max_t: float = 1.0,
         valid = _pad_to(jnp.ones((n_obj,), bool), padded, False)
 
         @maybe_ckpt
-        def sph_chunk(occ, s):
-            sl = slice(s, s + csize)
-            t, _, _ = sphere_candidates(origins, dirs, center[sl], radius[sl],
-                                        valid[sl], with_normals=False)
+        def sph_chunk(occ, c, r, v):
+            t, _, _ = sphere_candidates(origins, dirs, c, r, v,
+                                        with_normals=False)
             return fold(occ, t)
 
         for s in range(0, padded, csize):
-            occluded = sph_chunk(occluded, s)
+            sl = slice(s, s + csize)
+            occluded = sph_chunk(occluded, center[sl], radius[sl], valid[sl])
 
     box: Boxes = scene.boxes
     if box.count:

@@ -158,6 +158,8 @@ def refract(d, n, eta):
     spec formula used by the reference's refraction pass (:1023)."""
     cos_i = jnp.sum(n * d, axis=-1, keepdims=True)
     k = 1.0 - eta * eta * (1.0 - cos_i * cos_i)
-    safe_k = jnp.maximum(k, 0.0)
-    out = eta * d - (eta * cos_i + jnp.sqrt(safe_k)) * n
-    return jnp.where(k < 0.0, jnp.zeros_like(out), out)
+    # Double-where: sqrt has an infinite derivative at 0, and inf * 0 from the
+    # masked branch would poison gradients with NaN at grazing incidence.
+    k_safe = jnp.where(k > 0.0, k, 1.0)
+    out = eta * d - (eta * cos_i + jnp.sqrt(k_safe)) * n
+    return jnp.where(k > 0.0, out, jnp.zeros_like(out))

@@ -1,0 +1,70 @@
+"""Tile-sharded rendering over a device mesh via shard_map.
+
+The render is embarrassingly parallel over pixels (each GLSL invocation wrote
+one disjoint pixel, raytrace_compute.glsl:404); here each device traces its
+(H/dx, W/dy) tile of rays against the replicated scene with ZERO communication
+in the forward pass. The only collectives in the whole system are:
+
+  * psum of scene-parameter gradients (training; XLA inserts it from the
+    sharding annotations in train/inverse.py and overlaps it with backward),
+  * the final image gather to the host (utils/distributed gather).
+
+This mirrors the reference dispatch (glDispatchCompute over WxH workgroups,
+main.cpp:229-238) with the mesh playing the role of the GPU grid — and the
+``glFinish`` host sync disappears entirely; XLA dataflow replaces it.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from openglraytracer_tpu.models.scene import Camera, Scene
+from openglraytracer_tpu.ops.raygen import generate_rays
+from openglraytracer_tpu.ops.render import trace_rays, trace_rays_mirror
+from openglraytracer_tpu.parallel.mesh import AXIS_X, AXIS_Y
+
+
+@partial(jax.jit,
+         static_argnames=("height", "width", "depth", "chunk_size", "remat",
+                          "mirror_only", "mesh"))
+def render_sharded(scene: Scene, camera: Camera, height: int, width: int,
+                   *, mesh: Mesh, depth: int = 0, chunk_size: int = 512,
+                   remat: bool = False, mirror_only: bool = False):
+    """Render (H, W, 3), pixel tiles sharded over the mesh, scene replicated.
+
+    Returns a global jax.Array with NamedSharding(mesh, P('dx','dy',None)).
+    """
+    origins, dirs = generate_rays(camera, height, width)   # (H, W, 3)
+
+    tile_h = height // mesh.shape[AXIS_X]
+    tile_w = width // mesh.shape[AXIS_Y]
+    assert tile_h * mesh.shape[AXIS_X] == height, \
+        f"height {height} not divisible by mesh dx={mesh.shape[AXIS_X]}"
+    assert tile_w * mesh.shape[AXIS_Y] == width, \
+        f"width {width} not divisible by mesh dy={mesh.shape[AXIS_Y]}"
+
+    tracer = trace_rays_mirror if mirror_only else trace_rays
+
+    def tile_fn(scene_rep, o_tile, d_tile):
+        o = o_tile.reshape(-1, 3)
+        d = d_tile.reshape(-1, 3)
+        colors = tracer(scene_rep, o, d, depth, chunk_size=chunk_size,
+                        remat=remat)
+        return colors.reshape(o_tile.shape)
+
+    shmapped = jax.shard_map(
+        tile_fn, mesh=mesh,
+        in_specs=(P(), P(AXIS_X, AXIS_Y, None), P(AXIS_X, AXIS_Y, None)),
+        out_specs=P(AXIS_X, AXIS_Y, None),
+    )
+    return shmapped(scene, origins, dirs)
+
+
+def constrain_tiles(x, mesh: Mesh):
+    """Sharding-constrain an (H, W, ...) array to the image tiling."""
+    spec = P(AXIS_X, AXIS_Y) if x.ndim == 2 else P(AXIS_X, AXIS_Y, None)
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))

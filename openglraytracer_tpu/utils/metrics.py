@@ -1,0 +1,56 @@
+"""Structured metrics/logging + render timing.
+
+The reference's observability is cout'd shader logs and nothing else
+(SURVEY.md §5); here: JSONL metrics (step, loss, Mrays/s), and
+block_until_ready-bracketed wall timers for honest device timings.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import sys
+import time
+
+import jax
+
+log = logging.getLogger("openglraytracer_tpu")
+
+
+class MetricsLogger:
+    """Emit one JSON object per event to stderr (and optionally a file)."""
+
+    def __init__(self, name: str, path: str | None = None):
+        self.name = name
+        self._fh = open(path, "a") if path else None
+
+    def log(self, **kv):
+        rec = {"name": self.name, "t": time.time(), **kv}
+        line = json.dumps(rec)
+        print(line, file=sys.stderr)
+        if self._fh:
+            self._fh.write(line + "\n")
+            self._fh.flush()
+
+
+def time_fn(fn, *args, warmup: int = 2, iters: int = 5):
+    """Median wall time of fn(*args) with jax.block_until_ready around each
+    call (the honest replacement for the reference's vsync-masked frame
+    times, main.cpp:76)."""
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2]
+
+
+def rays_per_frame(height: int, width: int, n_lights: int, depth: int = 0):
+    """Primary + shadow ray count per frame at the given depth, counting the
+    full bounce tree like the reference's cast accounting (BASELINE.md):
+    each traced ray costs 1 primary cast + n_lights shadow casts."""
+    casts_per_pixel = (2 ** (depth + 1) - 1) if depth > 0 else 1
+    return height * width * casts_per_pixel * (1 + n_lights)
