@@ -255,14 +255,23 @@ def _init_best(r, dtype):
 
 def _fold_chunk(best, t, n, inside, mat_ids, obj_base, chunk_start):
     """Fold an (R, C) candidate block into the running best. First minimum
-    wins ties within the chunk (argmin) and across chunks (strict <)."""
-    j = jnp.argmin(t, axis=-1)                         # (R,)
-    jj = j[:, None]
-    tc = jnp.take_along_axis(t, jj, axis=-1)[:, 0]
-    nc = jnp.take_along_axis(n, jj[..., None], axis=-2)[:, 0, :]
-    ic = jnp.take_along_axis(inside, jj, axis=-1)[:, 0]
-    mc = jnp.take_along_axis(
-        jnp.broadcast_to(mat_ids[None, :], t.shape), jj, axis=-1)[:, 0]
+    wins ties within the chunk and across chunks (strict <).
+
+    Selection uses dense one-hot reductions instead of argmin +
+    take_along_axis: per-row dynamic gathers are cross-lane ops that XLA/TPU
+    lowers poorly and that break fusion; min/where/sum stay on the VPU and
+    fuse with the candidate math."""
+    c = t.shape[-1]
+    tc = jnp.min(t, axis=-1)                            # (R,)
+    iota = jnp.arange(c, dtype=jnp.int32)[None, :]      # (1, C)
+    # first index attaining the min (matches the reference's first-wins tie)
+    j = jnp.min(jnp.where(t == tc[:, None], iota, c), axis=-1)
+    sel = (iota == j[:, None])                          # exact one-hot (R, C)
+    self_f = sel.astype(t.dtype)
+
+    nc = jnp.sum(self_f[..., None] * n, axis=-2)        # (R, 3)
+    ic = jnp.any(sel & inside, axis=-1)
+    mc = jnp.sum(jnp.where(sel, mat_ids[None, :], 0), axis=-1)
     oc = (obj_base + chunk_start + j).astype(jnp.int32)
 
     upd = tc < best.t
@@ -270,7 +279,7 @@ def _fold_chunk(best, t, n, inside, mat_ids, obj_base, chunk_start):
         t=jnp.where(upd, tc, best.t),
         n=jnp.where(upd[:, None], nc, best.n),
         inside=jnp.where(upd, ic, best.inside),
-        material_id=jnp.where(upd, mc, best.material_id),
+        material_id=jnp.where(upd, mc.astype(jnp.int32), best.material_id),
         obj_id=jnp.where(upd, oc, best.obj_id),
     )
 
