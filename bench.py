@@ -2,15 +2,18 @@
 
 Measures Mrays/s/chip for forward+backward at 1024x1024 on the 64-sphere grid
 scene (config 3): one value_and_grad of a pixel MSE w.r.t. all trainable scene
-parameters per frame. Ray accounting matches BASELINE.md's derivation for the
-reference (primary + per-light shadow casts): (1 + n_lights) * H * W rays per
-forward pass; the backward pass is included in the time but not double-counted
-as rays, exactly like the baseline's implied-throughput row counts only casts.
+parameters per frame, using the analytic O(rays) geometry VJP.
 
-vs_baseline: the reference's only derivable number is ~55 Mrays/s
-(primary+shadow at vsync-locked 60 FPS, 1280x720, 3 lights — BASELINE.md),
-and that is *forward only* on an unspecified GPU; we report our
-forward+backward rate against it.
+Timing is PIPELINED: k steps are dispatched back-to-back and synchronized
+once, like a real training loop — JAX's async dispatch overlaps host->device
+latency with device compute, so per-call sync timing would measure the RPC
+round trip, not the renderer.
+
+Ray accounting matches BASELINE.md's derivation for the reference (primary +
+per-light shadow casts): (1 + n_lights) * H * W rays per forward pass; the
+backward is included in the time but not double-counted as rays. vs_baseline
+is against the reference's only derivable number, ~55 Mrays/s (forward-only,
+vsync-capped 60 FPS at 1280x720 with 3 lights).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -23,13 +26,16 @@ import time
 import jax
 import jax.numpy as jnp
 
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
 
 def main():
     from openglraytracer_tpu.models.builders import sphere_grid_scene
     from openglraytracer_tpu.train.inverse import (
         DEFAULT_TRAINABLE, apply_params, extract_params)
     from openglraytracer_tpu.ops.raygen import generate_rays
-    from openglraytracer_tpu.ops.render import trace_rays
+    from openglraytracer_tpu.ops.render import trace_rays_fast
 
     height = width = 1024
     depth = 0
@@ -45,26 +51,27 @@ def main():
 
     def loss_fn(params, scene, target):
         s = apply_params(scene, params)
-        img = trace_rays(s, o, d, depth=depth)
+        img = trace_rays_fast(s, o, d, depth)
         return jnp.mean(jnp.square(img - target))
 
     fwd_bwd = jax.jit(jax.value_and_grad(loss_fn))
 
     # Warmup/compile
-    loss, grads = fwd_bwd(params, scene, target)
-    jax.block_until_ready((loss, grads))
+    out = fwd_bwd(params, scene, target)
+    jax.block_until_ready(out)
 
-    times = []
-    for _ in range(7):
+    # Pipelined steady-state: dispatch k steps, sync once; best of 3 windows.
+    k = 10
+    best = float("inf")
+    for _ in range(3):
         t0 = time.perf_counter()
-        loss, grads = fwd_bwd(params, scene, target)
-        jax.block_until_ready((loss, grads))
-        times.append(time.perf_counter() - t0)
-    times.sort()
-    dt = times[len(times) // 2]
+        for _ in range(k):
+            out = fwd_bwd(params, scene, target)
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / k)
 
     rays = height * width * (1 + n_lights)
-    mrays = rays / dt / 1.0e6
+    mrays = rays / best / 1.0e6
     baseline_mrays = 55.0  # BASELINE.md implied reference throughput (fwd only)
 
     print(json.dumps({

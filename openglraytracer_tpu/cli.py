@@ -1,0 +1,188 @@
+"""Command-line interface — the build's host-application layer.
+
+The reference's 'app' is a GLFW window with a hardcoded scene and a vsync
+frame loop (main.cpp). The TPU-native equivalents:
+
+  oglrt render   — render a scene (builtin config or JSON file) to PNG
+  oglrt animate  — render the port-fidelity animated demo to a PNG sequence
+  oglrt fit      — inverse-rendering: fit scene params to a target image
+  oglrt bench    — the north-star benchmark (also available as bench.py)
+  oglrt configs  — list builtin scene configs
+
+Configuration is data, not code: scenes load from JSON (models/scene.py) and
+every knob is a flag — the deliberate divergence from the reference's
+recompile-the-shader-to-change-anything model (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _builtin(name: str, dtype=None):
+    import jax.numpy as jnp
+    from openglraytracer_tpu.models.builders import BENCH_CONFIGS
+    if name not in BENCH_CONFIGS:
+        raise SystemExit(
+            f"unknown config '{name}'; available: {list(BENCH_CONFIGS)}")
+    builder, h, w, depth = BENCH_CONFIGS[name]
+    scene, cam = builder()
+    return scene, cam, h, w, depth
+
+
+def cmd_configs(args):
+    from openglraytracer_tpu.models.builders import BENCH_CONFIGS
+    for name, (_, h, w, depth) in BENCH_CONFIGS.items():
+        print(f"{name:20s} {w}x{h} depth={depth}")
+
+
+def cmd_render(args):
+    import jax
+    from openglraytracer_tpu.models.scene import load_scene, make_camera
+    from openglraytracer_tpu.ops.render import render
+    from openglraytracer_tpu.utils.image import save_png
+    from openglraytracer_tpu.utils.metrics import MetricsLogger, time_fn
+
+    if args.scene.endswith(".json"):
+        scene = load_scene(args.scene)
+        cam = make_camera(tuple(args.camera_pos), tuple(args.camera_angles),
+                          aspect=args.width / args.height)
+        h, w, depth = args.height, args.width, args.depth
+    else:
+        scene, cam, h, w, depth = _builtin(args.scene)
+        h, w = args.height or h, args.width or w
+        depth = args.depth if args.depth is not None else depth
+
+    kwargs = dict(depth=depth, engine=args.engine,
+                  chunk_size=args.chunk_size)
+    img = render(scene, cam, h, w, **kwargs)
+    if args.time:
+        dt = time_fn(lambda: render(scene, cam, h, w, **kwargs))
+        n_rays = h * w * (1 + scene.lights.count)
+        MetricsLogger("render").log(h=h, w=w, depth=depth, sec=dt,
+                                    mrays_per_s=round(n_rays / dt / 1e6, 2))
+    save_png(img, args.out)
+    print(f"wrote {args.out} ({w}x{h}, depth={depth})")
+
+
+def cmd_animate(args):
+    from openglraytracer_tpu.models.animated import reference_frame
+    from openglraytracer_tpu.ops.render import render
+    from openglraytracer_tpu.utils.image import save_png
+
+    for i in range(args.frames):
+        t = args.start_time + i / args.fps
+        scene, cam = reference_frame(t)
+        img = render(scene, cam, args.height, args.width, depth=args.depth,
+                     engine="xla")  # OBB scene -> XLA path
+        path = args.out_pattern.format(i)
+        save_png(img, path)
+        print(f"frame {i}: t={t:.3f}s -> {path}")
+
+
+def cmd_fit(args):
+    import numpy as np
+    import jax.numpy as jnp
+    from openglraytracer_tpu.models.builders import sphere_grid_scene
+    from openglraytracer_tpu.ops.render import render
+    from openglraytracer_tpu.parallel.mesh import make_mesh
+    from openglraytracer_tpu.train.inverse import FitConfig, fit
+    from openglraytracer_tpu.utils.image import save_png
+
+    cfg = FitConfig(height=args.height, width=args.width, depth=args.depth,
+                    steps=args.steps, learning_rate=args.lr,
+                    checkpoint_dir=args.checkpoint_dir,
+                    trainable=tuple(args.trainable.split(",")))
+    side = args.grid_side
+    scene_true, cam = sphere_grid_scene(side, seed=1)
+    target = render(scene_true, cam, cfg.height, cfg.width, depth=cfg.depth)
+
+    # Perturbed init
+    import jax
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    scene_init = scene_true._replace(
+        spheres=scene_true.spheres._replace(
+            center=scene_true.spheres.center
+            + 0.3 * jax.random.normal(k1, scene_true.spheres.center.shape),
+            radius=jnp.clip(
+                scene_true.spheres.radius
+                + 0.1 * jax.random.normal(k2, scene_true.spheres.radius.shape),
+                0.1, None)))
+
+    mesh = make_mesh() if args.sharded else None
+    t0 = time.time()
+    fitted, losses = fit(scene_init, target, cam, cfg, mesh=mesh)
+    print(f"fit: {len(losses)} logged losses, final {losses[-1][1]:.3e}, "
+          f"{time.time() - t0:.1f}s")
+    if args.out:
+        save_png(render(fitted, cam, cfg.height, cfg.width, depth=cfg.depth),
+                 args.out)
+
+
+def cmd_bench(args):
+    import bench
+    bench.main()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="oglrt",
+                                description="TPU-native differentiable raytracer")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("render", help="render a scene to PNG")
+    r.add_argument("--scene", default="c2_eight_spheres",
+                   help="builtin config name or scene .json path")
+    r.add_argument("--out", default="render.png")
+    r.add_argument("--width", type=int, default=None)
+    r.add_argument("--height", type=int, default=None)
+    r.add_argument("--depth", type=int, default=None)
+    r.add_argument("--engine", default="auto",
+                   choices=["auto", "xla", "pallas"])
+    r.add_argument("--chunk-size", type=int, default=512)
+    r.add_argument("--camera-pos", type=float, nargs=3,
+                   default=[0.0, -10.0, 4.0])
+    r.add_argument("--camera-angles", type=float, nargs=3,
+                   default=[-15.0, 0.0, 0.0])
+    r.add_argument("--time", action="store_true", help="print timing metrics")
+    r.set_defaults(fn=cmd_render)
+
+    a = sub.add_parser("animate", help="render the reference animated demo")
+    a.add_argument("--frames", type=int, default=30)
+    a.add_argument("--fps", type=float, default=30.0)
+    a.add_argument("--start-time", type=float, default=0.0)
+    a.add_argument("--width", type=int, default=640)
+    a.add_argument("--height", type=int, default=360)
+    a.add_argument("--depth", type=int, default=0)
+    a.add_argument("--out-pattern", default="frame_{:04d}.png")
+    a.set_defaults(fn=cmd_animate)
+
+    f = sub.add_parser("fit", help="inverse-rendering fit")
+    f.add_argument("--grid-side", type=int, default=4)
+    f.add_argument("--width", type=int, default=128)
+    f.add_argument("--height", type=int, default=128)
+    f.add_argument("--depth", type=int, default=0)
+    f.add_argument("--steps", type=int, default=100)
+    f.add_argument("--lr", type=float, default=1e-2)
+    f.add_argument("--trainable",
+                   default="spheres.center,spheres.radius,materials.diffuse")
+    f.add_argument("--sharded", action="store_true")
+    f.add_argument("--checkpoint-dir", default=None)
+    f.add_argument("--out", default=None)
+    f.set_defaults(fn=cmd_fit)
+
+    b = sub.add_parser("bench", help="north-star benchmark")
+    b.set_defaults(fn=cmd_bench)
+
+    c = sub.add_parser("configs", help="list builtin configs")
+    c.set_defaults(fn=cmd_configs)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

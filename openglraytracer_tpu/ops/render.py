@@ -51,9 +51,37 @@ def _mix(a, b, w):
     return a * (1.0 - w) + b * w
 
 
+def _apply_bounces(scene: Scene, dirs, hit, color, depth: int, recurse):
+    """Reflection (:979-997) and refraction (:1001-1030) child traces blended
+    with mix(mix(phong, refl, reflectivity), refr, transparency) (:1042-1051).
+    recurse(origins, dirs, depth) -> colors for the child rays."""
+    mat = gather_materials(scene, hit.material_id)
+
+    refl_org = hit.p + hit.n * BOUNCE_EPS
+    refl_dir = reflect(dirs, hit.n)
+    refl_color = recurse(refl_org, refl_dir, depth - 1)
+    do_refl = (hit.hit & (mat.reflectivity > 0.0))[:, None]
+    color = jnp.where(do_refl,
+                      _mix(color, refl_color, mat.reflectivity[:, None]),
+                      color)
+
+    refr_org = hit.p - hit.n * BOUNCE_EPS
+    ratio = jnp.where(hit.inside,
+                      mat.refraction_index / AIR_IOR,
+                      AIR_IOR / mat.refraction_index)
+    refr_dir = refract(dirs, hit.n, ratio[:, None])
+    refr_color = recurse(refr_org, refr_dir, depth - 1)
+    do_refr = (hit.hit & (mat.transparency > 0.0))[:, None]
+    color = jnp.where(do_refr,
+                      _mix(color, refr_color, mat.transparency[:, None]),
+                      color)
+    return color
+
+
 def trace_rays(scene: Scene, origins, dirs, depth: int = 0,
                chunk_size: int = 512, remat: bool = False) -> jnp.ndarray:
-    """Trace rays through the scene with full reflection+refraction tree.
+    """Trace rays through the scene with full reflection+refraction tree
+    (pure-XLA path; handles every primitive type).
 
     origins, dirs: (R, 3), dirs normalized. Returns colors (R, 3).
     """
@@ -61,32 +89,54 @@ def trace_rays(scene: Scene, origins, dirs, depth: int = 0,
     color = phong_shade(scene, dirs, hit, chunk_size=chunk_size, remat=remat)
 
     if depth > 0:
-        mat = gather_materials(scene, hit.material_id)
-
-        # Reflection pass (:979-997)
-        refl_org = hit.p + hit.n * BOUNCE_EPS
-        refl_dir = reflect(dirs, hit.n)
-        refl_color = trace_rays(scene, refl_org, refl_dir, depth - 1,
-                                chunk_size=chunk_size, remat=remat)
-        do_refl = (hit.hit & (mat.reflectivity > 0.0))[:, None]
-        color = jnp.where(do_refl,
-                          _mix(color, refl_color, mat.reflectivity[:, None]),
-                          color)
-
-        # Refraction pass (:1001-1030)
-        refr_org = hit.p - hit.n * BOUNCE_EPS
-        ratio = jnp.where(hit.inside,
-                          mat.refraction_index / AIR_IOR,
-                          AIR_IOR / mat.refraction_index)
-        refr_dir = refract(dirs, hit.n, ratio[:, None])
-        refr_color = trace_rays(scene, refr_org, refr_dir, depth - 1,
-                                chunk_size=chunk_size, remat=remat)
-        do_refr = (hit.hit & (mat.transparency > 0.0))[:, None]
-        color = jnp.where(do_refr,
-                          _mix(color, refr_color, mat.transparency[:, None]),
-                          color)
+        color = _apply_bounces(
+            scene, dirs, hit, color, depth,
+            lambda o, d, dd: trace_rays(scene, o, d, dd,
+                                        chunk_size=chunk_size, remat=remat))
 
     return jnp.where(hit.hit[:, None], color, 0.0)
+
+
+def trace_rays_fast(scene: Scene, origins, dirs, depth: int = 0,
+                    chunk_size: int = 512, engine: str = "xla") -> jnp.ndarray:
+    """Trace with the analytic O(rays) geometry VJP (ops/geometry.py):
+    forward identical to trace_rays; backward gathers each ray's winning
+    object, replays one candidate computation, and scatter-adds — instead of
+    autodiff re-scanning every object. Sphere/plane scenes only.
+
+    engine: 'xla' (default) or 'pallas' (fused Mosaic kernel forward).
+    """
+    from openglraytracer_tpu.ops.geometry import geometry_op
+    from openglraytracer_tpu.ops.shading import phong_shade_lit
+
+    hit, occ = geometry_op(scene, origins, dirs, engine, chunk_size)
+    color = phong_shade_lit(scene, dirs, hit, occ)
+    if depth > 0:
+        color = _apply_bounces(
+            scene, dirs, hit, color, depth,
+            lambda o, d, dd: trace_rays_fast(scene, o, d, dd,
+                                             chunk_size=chunk_size,
+                                             engine=engine))
+    return jnp.where(hit.hit[:, None], color, 0.0)
+
+
+def pick_tracer(scene: Scene, engine: str = "auto"):
+    """Select the trace implementation by engine name:
+      'auto'          -> 'xla' for sphere/plane scenes, 'autodiff' for OBBs
+      'xla'           -> XLA forward + analytic O(R) VJP
+      'pallas'        -> Pallas kernel forward + analytic O(R) VJP
+      'autodiff'      -> pure-XLA forward AND autodiff backward (all
+                         primitive types incl. OBBs; the gradient reference)
+    """
+    from openglraytracer_tpu.ops.pallas_render import supports_scene
+    if engine == "auto":
+        engine = "xla" if supports_scene(scene) else "autodiff"
+    if engine == "autodiff":
+        return trace_rays
+    assert supports_scene(scene), \
+        f"engine='{engine}' supports sphere/plane scenes; OBBs need 'autodiff'"
+    return lambda s, o, d, depth=0, chunk_size=512, remat=False: \
+        trace_rays_fast(s, o, d, depth, chunk_size=chunk_size, engine=engine)
 
 
 def trace_rays_mirror(scene: Scene, origins, dirs, depth: int,
@@ -124,11 +174,12 @@ def trace_rays_mirror(scene: Scene, origins, dirs, depth: int,
 
 
 @partial(jax.jit, static_argnames=("height", "width", "depth", "chunk_size",
-                                   "remat", "row_block", "mirror_only"))
+                                   "remat", "row_block", "mirror_only",
+                                   "engine"))
 def render(scene: Scene, camera: Camera, height: int, width: int,
            depth: int = 0, chunk_size: int = 512, remat: bool = False,
            row_block: int | None = None,
-           mirror_only: bool = False) -> jnp.ndarray:
+           mirror_only: bool = False, engine: str = "auto") -> jnp.ndarray:
     """Render an (H, W, 3) image. Pure function of (scene, camera) — the
     reference's statelessness (everything recomputed from `time` each frame,
     SURVEY.md §5 checkpoint entry) preserved by construction.
@@ -140,7 +191,8 @@ def render(scene: Scene, camera: Camera, height: int, width: int,
     o = origins.reshape(-1, 3)
     d = dirs.reshape(-1, 3)
 
-    tracer = (trace_rays_mirror if mirror_only else trace_rays)
+    tracer = (trace_rays_mirror if mirror_only
+              else pick_tracer(scene, engine))
 
     if row_block is None or row_block >= height:
         colors = tracer(scene, o, d, depth, chunk_size=chunk_size, remat=remat)

@@ -49,11 +49,22 @@ def gather_materials(scene: Scene, material_id):
     )
 
 
-def phong_shade(scene: Scene, dirs, hit: Hit, chunk_size: int = 512,
-                remat: bool = False) -> jnp.ndarray:
-    """ADS Phong color for each ray's hit. dirs: (R, 3) incident ray dirs
-    (normalized). Returns (R, 3); garbage-but-finite on misses (caller masks).
-    """
+def shadow_masks(scene: Scene, hit: Hit, chunk_size: int = 512,
+                 remat: bool = False) -> jnp.ndarray:
+    """Per-light occlusion masks, shape (R, L) bool (True = in shadow)."""
+    shadow_org = hit.p + hit.n * SHADOW_EPS
+    cols = []
+    for j in range(scene.lights.count):
+        to_light = scene.lights.position[j] - hit.p
+        cols.append(any_hit(scene, shadow_org, to_light, max_t=1.0,
+                            chunk_size=chunk_size, remat=remat))
+    return jnp.stack(cols, axis=-1)
+
+
+def phong_shade_lit(scene: Scene, dirs, hit: Hit, occluded) -> jnp.ndarray:
+    """ADS Phong given precomputed occlusion masks occluded (R, L) —
+    the lighting math with the shadow queries factored out so the Pallas
+    geometry engine can supply them. Returns (R, 3)."""
     mat = gather_materials(scene, hit.material_id)
     lights = scene.lights
 
@@ -69,11 +80,7 @@ def phong_shade(scene: Scene, dirs, hit: Hit, chunk_size: int = 512,
 
         to_light = lpos - hit.p               # unnormalized segment (:809)
         light_dir = _safe_normalize(to_light)
-
-        shadow_org = hit.p + hit.n * SHADOW_EPS
-        occluded = any_hit(scene, shadow_org, to_light, max_t=1.0,
-                           chunk_size=chunk_size, remat=remat)
-        lit = (~occluded)[:, None].astype(dirs.dtype)
+        lit = (~occluded[:, j])[:, None].astype(dirs.dtype)
 
         light_ref = _safe_normalize(reflect(-light_dir, hit.n))
         cos_theta = jnp.sum(light_dir * hit.n, axis=-1, keepdims=True)
@@ -86,3 +93,12 @@ def phong_shade(scene: Scene, dirs, hit: Hit, chunk_size: int = 512,
 
     phong = ambient + diffuse + specular + mat.emissive
     return phong[..., :3] * phong[..., 3:4]   # rgb * alpha (:839)
+
+
+def phong_shade(scene: Scene, dirs, hit: Hit, chunk_size: int = 512,
+                remat: bool = False) -> jnp.ndarray:
+    """ADS Phong color for each ray's hit (shadow queries included).
+    dirs: (R, 3) incident ray dirs (normalized). Returns (R, 3);
+    garbage-but-finite on misses (caller masks)."""
+    occluded = shadow_masks(scene, hit, chunk_size=chunk_size, remat=remat)
+    return phong_shade_lit(scene, dirs, hit, occluded)

@@ -24,16 +24,17 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from openglraytracer_tpu.models.scene import Camera, Scene
 from openglraytracer_tpu.ops.raygen import generate_rays
-from openglraytracer_tpu.ops.render import trace_rays, trace_rays_mirror
+from openglraytracer_tpu.ops.render import pick_tracer, trace_rays_mirror
 from openglraytracer_tpu.parallel.mesh import AXIS_X, AXIS_Y
 
 
 @partial(jax.jit,
          static_argnames=("height", "width", "depth", "chunk_size", "remat",
-                          "mirror_only", "mesh"))
+                          "mirror_only", "mesh", "engine"))
 def render_sharded(scene: Scene, camera: Camera, height: int, width: int,
                    *, mesh: Mesh, depth: int = 0, chunk_size: int = 512,
-                   remat: bool = False, mirror_only: bool = False):
+                   remat: bool = False, mirror_only: bool = False,
+                   engine: str = "auto"):
     """Render (H, W, 3), pixel tiles sharded over the mesh, scene replicated.
 
     Returns a global jax.Array with NamedSharding(mesh, P('dx','dy',None)).
@@ -47,7 +48,8 @@ def render_sharded(scene: Scene, camera: Camera, height: int, width: int,
     assert tile_w * mesh.shape[AXIS_Y] == width, \
         f"width {width} not divisible by mesh dy={mesh.shape[AXIS_Y]}"
 
-    tracer = trace_rays_mirror if mirror_only else trace_rays
+    tracer = (trace_rays_mirror if mirror_only
+              else pick_tracer(scene, engine))
 
     def tile_fn(scene_rep, o_tile, d_tile):
         o = o_tile.reshape(-1, 3)
@@ -56,10 +58,14 @@ def render_sharded(scene: Scene, camera: Camera, height: int, width: int,
                         remat=remat)
         return colors.reshape(o_tile.shape)
 
+    # check_vma=False: the analytic-VJP scatter in the transpose defeats
+    # static replication inference; the replicated-scene cotangent still gets
+    # its psum from shard_map's transpose rule.
     shmapped = jax.shard_map(
         tile_fn, mesh=mesh,
         in_specs=(P(), P(AXIS_X, AXIS_Y, None), P(AXIS_X, AXIS_Y, None)),
         out_specs=P(AXIS_X, AXIS_Y, None),
+        check_vma=False,
     )
     return shmapped(scene, origins, dirs)
 
