@@ -126,14 +126,19 @@ def _geometry_bwd(engine, chunk_size, res, g):
             "analytic geometry VJP covers sphere/plane scenes; "
             "use trace_rays (full autodiff) for OBB scenes")
 
+    from openglraytracer_tpu.ops.gathers import gather_rows, scatter_add_rows
+
     idx = hit.obj_id
     hm = hit.hit
     is_sph = hm & (idx < n_sph) if n_sph else jnp.zeros_like(hm)
-    # Winner parameter gather (single O(R) row gathers)
+    # Winner parameter gather (single O(R) one-hot matmuls, ops/gathers.py)
     if n_sph:
         sid = jnp.clip(idx, 0, n_sph - 1)
-        c = scene.spheres.center[sid]
-        r = scene.spheres.radius[sid]
+        sph_table = jnp.concatenate(
+            [scene.spheres.center, scene.spheres.radius[:, None]], axis=-1)
+        rows = gather_rows(sph_table, sid)
+        c = rows[:, :3]
+        r = rows[:, 3]
     else:
         sid = jnp.zeros_like(idx)
         c = jnp.zeros_like(origins)
@@ -176,18 +181,18 @@ def _geometry_bwd(engine, chunk_size, res, g):
         sph_mask = is_sph
         gc = jnp.where(sph_mask[:, None], gc, 0.0)
         gr = jnp.where(sph_mask, gr, 0.0)
-        g_center = jnp.zeros_like(scene.spheres.center).at[sid].add(gc)
-        g_radius = jnp.zeros_like(scene.spheres.radius).at[sid].add(gr)
+        g_rows = scatter_add_rows(
+            sid, jnp.concatenate([gc, gr[:, None]], axis=-1), n_sph)
         g_scene = g_scene._replace(spheres=g_scene.spheres._replace(
-            center=g_center, radius=g_radius))
+            center=g_rows[:, :3], radius=g_rows[:, 3]))
     if n_pln:
         pln_mask = hm & (~is_sph)
         gpn = jnp.where(pln_mask[:, None], gpn, 0.0)
         gpoff = jnp.where(pln_mask, gpoff, 0.0)
-        g_normal = jnp.zeros_like(scene.planes.normal).at[pid].add(gpn)
-        g_offset = jnp.zeros_like(scene.planes.offset).at[pid].add(gpoff)
+        g_rows = scatter_add_rows(
+            pid, jnp.concatenate([gpn, gpoff[:, None]], axis=-1), n_pln)
         g_scene = g_scene._replace(planes=g_scene.planes._replace(
-            normal=g_normal, offset=g_offset))
+            normal=g_rows[:, :3], offset=g_rows[:, 3]))
 
     return g_scene, go, gd
 
