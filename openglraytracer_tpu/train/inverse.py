@@ -90,7 +90,10 @@ def make_train_step(camera: Camera, cfg: FitConfig, mesh=None,
         return jnp.mean(jnp.square(img - target))
 
     def init_fn(scene: Scene):
-        params = extract_params(scene, cfg.trainable)
+        # Copy: step_fn donates params, and extracted leaves alias the scene's
+        # buffers — donating an alias would delete the scene's own arrays.
+        params = jax.tree_util.tree_map(jnp.copy,
+                                        extract_params(scene, cfg.trainable))
         return params, opt.init(params)
 
     @partial(jax.jit, donate_argnums=(0, 1))

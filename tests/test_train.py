@@ -1,0 +1,89 @@
+"""Inverse-rendering trainer: loss decreases, params move toward truth,
+checkpoints save/restore, sharded training matches single-device."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from openglraytracer_tpu.models.builders import sphere_grid_scene
+from openglraytracer_tpu.ops.render import render
+from openglraytracer_tpu.parallel.mesh import make_mesh
+from openglraytracer_tpu.train.inverse import (
+    FitConfig,
+    apply_params,
+    extract_params,
+    fit,
+    make_train_step,
+)
+
+
+def _setup(h=48, w=48):
+    scene_true, cam = sphere_grid_scene(2, seed=7)   # 4 spheres
+    target = render(scene_true, cam, h, w)
+    key = jax.random.PRNGKey(3)
+    scene_init = scene_true._replace(
+        spheres=scene_true.spheres._replace(
+            center=scene_true.spheres.center
+            + 0.25 * jax.random.normal(key, scene_true.spheres.center.shape)))
+    return scene_true, scene_init, cam, target
+
+
+def test_fit_reduces_loss(tmp_path):
+    scene_true, scene_init, cam, target = _setup()
+    cfg = FitConfig(height=48, width=48, steps=150, learning_rate=3e-2,
+                    log_every=10, trainable=("spheres.center",))
+    fitted, losses = fit(scene_init, target, cam, cfg)
+    assert losses[-1][1] < losses[0][1] * 0.5, losses
+    # optimization actually moved the trainable params
+    delta = np.abs(np.asarray(fitted.spheres.center)
+                   - np.asarray(scene_init.spheres.center)).max()
+    assert delta > 1e-3
+    # (inverse rendering is non-convex; parameter-space recovery is only
+    # guaranteed near the optimum, so we assert on the loss, not on params)
+
+
+def test_fit_checkpoint_resume(tmp_path):
+    scene_true, scene_init, cam, target = _setup(32, 32)
+    ckpt = str(tmp_path / "ckpt")
+    cfg = FitConfig(height=32, width=32, steps=20, learning_rate=1e-2,
+                    log_every=5, checkpoint_dir=ckpt, checkpoint_every=10,
+                    trainable=("spheres.center",))
+    fit(scene_init, target, cam, cfg)
+
+    # Resume with more steps: restores from step 20
+    cfg2 = FitConfig(height=32, width=32, steps=30, learning_rate=1e-2,
+                     log_every=5, checkpoint_dir=ckpt, checkpoint_every=10,
+                     trainable=("spheres.center",))
+    _, losses = fit(scene_init, target, cam, cfg2)
+    assert losses[0][0] >= 20  # resumed, didn't restart from 0
+
+
+def test_sharded_step_matches_single():
+    scene_true, scene_init, cam, target = _setup(32, 32)
+    cfg = FitConfig(height=32, width=32, steps=1,
+                    trainable=("spheres.center", "materials.diffuse"))
+
+    init1, step1 = make_train_step(cam, cfg, mesh=None)
+    p1, o1 = init1(scene_init)
+    p1, o1, l1 = step1(p1, o1, scene_init, target)
+
+    mesh = make_mesh()
+    initn, stepn = make_train_step(cam, cfg, mesh=mesh)
+    pn, on = initn(scene_init)
+    pn, on, ln = stepn(pn, on, scene_init, target)
+
+    np.testing.assert_allclose(float(l1), float(ln), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(pn)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_extract_apply_roundtrip():
+    scene, _ = sphere_grid_scene(2)
+    params = extract_params(scene, ("spheres.center", "lights.position"))
+    assert set(params) == {"spheres.center", "lights.position"}
+    s2 = apply_params(scene, {k: v + 1.0 for k, v in params.items()})
+    np.testing.assert_allclose(np.asarray(s2.spheres.center),
+                               np.asarray(scene.spheres.center) + 1.0)
+    np.testing.assert_allclose(np.asarray(s2.lights.position),
+                               np.asarray(scene.lights.position) + 1.0)
