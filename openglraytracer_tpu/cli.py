@@ -77,7 +77,7 @@ def cmd_animate(args):
         t = args.start_time + i / args.fps
         scene, cam = reference_frame(t)
         img = render(scene, cam, args.height, args.width, depth=args.depth,
-                     engine="xla")  # OBB scene -> XLA path
+                     engine="auto")  # OBB scene -> autodiff path
         path = args.out_pattern.format(i)
         save_png(img, path)
         print(f"frame {i}: t={t:.3f}s -> {path}")

@@ -1,0 +1,66 @@
+"""CLI smoke tests (render/configs/scene JSON roundtrip) and checkify debug
+tooling."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from openglraytracer_tpu import cli
+from openglraytracer_tpu.models.builders import eight_sphere_scene
+from openglraytracer_tpu.models.scene import load_scene, save_scene
+
+
+def test_cli_configs(capsys):
+    cli.main(["configs"])
+    out = capsys.readouterr().out
+    assert "c1_sphere_plane" in out and "c5_grid4096" in out
+
+
+def test_cli_render_builtin(tmp_path):
+    out = str(tmp_path / "img.png")
+    cli.main(["render", "--scene", "c1_sphere_plane", "--width", "32",
+              "--height", "32", "--out", out, "--engine", "xla"])
+    data = open(out, "rb").read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    assert len(data) > 100
+
+
+def test_cli_render_scene_json(tmp_path):
+    scene, _ = eight_sphere_scene()
+    path = str(tmp_path / "scene.json")
+    save_scene(scene, path)
+    loaded = load_scene(path)
+    np.testing.assert_allclose(np.asarray(loaded.spheres.center),
+                               np.asarray(scene.spheres.center), atol=1e-6)
+    out = str(tmp_path / "s.png")
+    cli.main(["render", "--scene", path, "--width", "24", "--height", "24",
+              "--depth", "0", "--out", out])
+    assert os.path.getsize(out) > 100
+
+
+def test_cli_animate(tmp_path):
+    pattern = str(tmp_path / "f_{:03d}.png")
+    cli.main(["animate", "--frames", "2", "--width", "48", "--height", "32",
+              "--out-pattern", pattern])
+    assert os.path.exists(pattern.format(0))
+    assert os.path.exists(pattern.format(1))
+
+
+def test_checked_render_clean():
+    from openglraytracer_tpu.utils.debug import checked_render
+    scene, cam = eight_sphere_scene()
+    err, img = checked_render(scene, cam, 16, 16)
+    err.throw()  # no NaN/inf anywhere in the pipeline
+    assert np.isfinite(np.asarray(img)).all()
+
+
+def test_assert_finite_tree():
+    from openglraytracer_tpu.utils.debug import assert_finite_tree
+    scene, _ = eight_sphere_scene()
+    assert_finite_tree(scene, "scene")
+    bad = scene._replace(spheres=scene.spheres._replace(
+        radius=scene.spheres.radius.at[0].set(float("nan"))))
+    with pytest.raises(FloatingPointError):
+        assert_finite_tree(bad, "scene")
