@@ -54,20 +54,27 @@ def main():
         img = trace_rays_fast(s, o, d, depth)
         return jnp.mean(jnp.square(img - target))
 
-    fwd_bwd = jax.jit(jax.value_and_grad(loss_fn))
+    @jax.jit
+    def sgd_step(params, scene, target):
+        loss, grads = jax.value_and_grad(loss_fn)(params, scene, target)
+        params = jax.tree_util.tree_map(lambda p, g: p - 1.0e-7 * g,
+                                        params, grads)
+        return params, loss
 
     # Warmup/compile
-    out = fwd_bwd(params, scene, target)
-    jax.block_until_ready(out)
+    p, loss = sgd_step(params, scene, target)
+    jax.block_until_ready(loss)
 
-    # Pipelined steady-state: dispatch k steps, sync once; best of 3 windows.
+    # Chained steady-state: each step consumes the previous step's params
+    # (true training data dependence — immune to any execution caching),
+    # synced once per window; best of 3 windows.
     k = 10
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(k):
-            out = fwd_bwd(params, scene, target)
-        jax.block_until_ready(out)
+            p, loss = sgd_step(p, scene, target)
+        jax.block_until_ready(loss)
         best = min(best, (time.perf_counter() - t0) / k)
 
     rays = height * width * (1 + n_lights)
