@@ -48,9 +48,11 @@ def cmd_render(args):
 
     if args.scene.endswith(".json"):
         scene = load_scene(args.scene)
+        h = args.height or 720
+        w = args.width or 1280
+        depth = args.depth if args.depth is not None else 0
         cam = make_camera(tuple(args.camera_pos), tuple(args.camera_angles),
-                          aspect=args.width / args.height)
-        h, w, depth = args.height, args.width, args.depth
+                          aspect=w / h)
     else:
         scene, cam, h, w, depth = _builtin(args.scene)
         h, w = args.height or h, args.width or w

@@ -282,18 +282,36 @@ def scene_to_dict(scene: Scene) -> dict:
 
 
 def scene_from_dict(d: dict, dtype=jnp.float32) -> Scene:
-    def load(cls, sub, int_keys=("material_id",)):
+    # trailing dims of each 2-D column (everything else is 1-D)
+    vec_cols = {"center": 3, "mins": 3, "maxs": 3, "position": 3, "angles": 3,
+                "normal": 3, "ambient": 4, "diffuse": 4, "specular": 4,
+                "emissive": 4}
+
+    def load(cls, key, int_keys=("material_id",)):
+        sub = d.get(key)
+        if sub is None:
+            sub = {f: (np.zeros((0, vec_cols[f])) if f in vec_cols
+                       else np.zeros((0,))) for f in cls._fields}
+        if not isinstance(sub, dict):
+            raise ValueError(
+                f"scene JSON: '{key}' must be a dict of column arrays "
+                f"(fields: {list(cls._fields)}), got {type(sub).__name__}; "
+                f"see scene_to_dict / save_scene for the schema")
+        missing = set(cls._fields) - set(sub)
+        if missing:
+            raise ValueError(
+                f"scene JSON: '{key}' is missing columns {sorted(missing)}")
         kw = {}
         for k, v in sub.items():
             kw[k] = jnp.asarray(v, jnp.int32 if k in int_keys else dtype)
         return cls(**kw)
 
     return Scene(
-        spheres=load(Spheres, d["spheres"]),
-        boxes=load(Boxes, d["boxes"]),
-        planes=load(Planes, d["planes"]),
-        materials=load(Materials, d["materials"], int_keys=()),
-        lights=load(Lights, d["lights"], int_keys=()),
+        spheres=load(Spheres, "spheres"),
+        boxes=load(Boxes, "boxes"),
+        planes=load(Planes, "planes"),
+        materials=load(Materials, "materials", int_keys=()),
+        lights=load(Lights, "lights", int_keys=()),
     )
 
 

@@ -36,9 +36,10 @@ from openglraytracer_tpu.ops.intersect import (
     Hit,
     INF_T,
     _safe_div,
-    closest_hit,
+    closest_hit_sp,
+    shadow_occlusion_sp,
 )
-from openglraytracer_tpu.ops.shading import shadow_masks
+from openglraytracer_tpu.ops.shading import SHADOW_EPS
 
 
 def _forward(scene: Scene, origins, dirs, engine: str, chunk_size: int):
@@ -46,8 +47,11 @@ def _forward(scene: Scene, origins, dirs, engine: str, chunk_size: int):
         from openglraytracer_tpu.ops.pallas_render import pallas_geometry
         geo = pallas_geometry(scene, origins, dirs)
         return geo.hit, geo.occluded
-    hit = closest_hit(scene, origins, dirs, chunk_size=chunk_size)
-    occ = shadow_masks(scene, hit, chunk_size=chunk_size)
+    hit = closest_hit_sp(scene, origins, dirs, chunk_size=chunk_size)
+    shadow_org = hit.p + hit.n * SHADOW_EPS
+    to_lights = scene.lights.position[None, :, :] - hit.p[:, None, :]
+    occ = shadow_occlusion_sp(scene, shadow_org, to_lights,
+                              chunk_size=chunk_size)
     return hit, occ
 
 

