@@ -34,24 +34,36 @@ def main():
     from openglraytracer_tpu.models.builders import sphere_grid_scene
     from openglraytracer_tpu.train.inverse import (
         DEFAULT_TRAINABLE, apply_params, extract_params)
+    from openglraytracer_tpu.ops.accel import suggest_cull_sizes, tile_image
     from openglraytracer_tpu.ops.raygen import generate_rays
     from openglraytracer_tpu.ops.render import trace_rays_fast
+    from openglraytracer_tpu.ops.shading import static_shadow_mask
 
     height = width = 1024
     depth = 0
     scene, cam = sphere_grid_scene(8)
     n_lights = scene.lights.count
 
+    # Tile-cone culled engine (ops/accel.py): conservative K sizing with
+    # headroom for the moving scene; shadow casts skipped for ambient-only
+    # lights (output-identical).
+    tile = (64, 64)
+    shadow_mask = static_shadow_mask(scene)
+    kp, ks = suggest_cull_sizes(scene, cam, height, width, tile,
+                                shadow_lights=shadow_mask)
+    cull = (tile[0] * tile[1], kp, ks)
+
     origins, dirs = generate_rays(cam, height, width)
-    o = origins.reshape(-1, 3)
-    d = dirs.reshape(-1, 3)
+    o = tile_image(origins, *tile).reshape(-1, 3)
+    d = tile_image(dirs, *tile).reshape(-1, 3)
     target = jnp.zeros((height * width, 3), jnp.float32)
 
     params = extract_params(scene, DEFAULT_TRAINABLE)
 
     def loss_fn(params, scene, target):
         s = apply_params(scene, params)
-        img = trace_rays_fast(s, o, d, depth)
+        img = trace_rays_fast(s, o, d, depth, engine="culled", cull=cull,
+                              shadow_lights=shadow_mask)
         return jnp.mean(jnp.square(img - target))
 
     @jax.jit

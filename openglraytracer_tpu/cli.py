@@ -60,6 +60,12 @@ def cmd_render(args):
 
     kwargs = dict(depth=depth, engine=args.engine,
                   chunk_size=args.chunk_size)
+    if args.engine == "culled":
+        from openglraytracer_tpu.ops.accel import suggest_cull_sizes
+        tile = (args.cull_tile, args.cull_tile)
+        kp, ks = suggest_cull_sizes(scene, cam, h, w, tile)
+        kwargs["cull"] = (tile, kp, ks)
+        print(f"cull: tile={args.cull_tile} kp={kp} ks={ks}")
     img = render(scene, cam, h, w, **kwargs)
     if args.time:
         dt = time_fn(lambda: render(scene, cam, h, w, **kwargs))
@@ -143,7 +149,9 @@ def main(argv=None):
     r.add_argument("--height", type=int, default=None)
     r.add_argument("--depth", type=int, default=None)
     r.add_argument("--engine", default="auto",
-                   choices=["auto", "xla", "pallas"])
+                   choices=["auto", "xla", "pallas", "culled"])
+    r.add_argument("--cull-tile", type=int, default=32,
+                   help="pixel tile side for engine=culled")
     r.add_argument("--chunk-size", type=int, default=512)
     r.add_argument("--camera-pos", type=float, nargs=3,
                    default=[0.0, -10.0, 4.0])

@@ -1,0 +1,565 @@
+"""Broad-phase acceleration: tile-cone culling for primary and shadow rays.
+
+The reference tests every ray against every object (get_closest_collision's
+linear scan, raytrace_compute.glsl:738-782 — "no BVH/acceleration structure",
+SURVEY.md C18). That is O(rays x objects): fine for 5 objects, hopeless for
+the 4096-sphere benchmark config. A classic GPU raytracer would hang a BVH
+here; pointer-chasing trees are the wrong shape for the TPU's dense vector
+units, so this module uses the TPU-native equivalent — a *dense, two-level
+broad phase* with static shapes throughout:
+
+  1. Partition the image into pixel tiles. All primary rays in a tile share
+     the camera origin and span a narrow cone: axis = mean direction,
+     cos(half-angle) = min over the tile of dot(axis, dir).
+  2. Conservatively test every sphere against every tile cone (O(tiles x N),
+     ~1000x smaller than rays x N) — a sphere survives iff
+     angle(axis, c - apex) <= half_angle + asin(r / |c - apex|), evaluated
+     sqrt-wise without any trig.
+  3. Compact each tile's survivor set to a static top-K index list
+     (jax.lax.top_k — survivors keep ascending object order, preserving the
+     reference's first-object-wins tie semantics), gather their parameters,
+     and run the exact narrow-phase scan only on rays x K.
+  4. Shadow rays get the same treatment per light: the cone apex is the light
+     position and the cone must contain the tile's bounding box of shadow-ray
+     origins (computed on device from the primary hits).
+
+Culling is *conservative*: a surviving superset never changes the image. The
+one approximation is the static K: a tile whose true survivor count exceeds K
+drops its farthest-indexed objects. The per-tile counts are returned so
+callers can size K (``suggest_cull_sizes``) and tests can assert no overflow;
+rendering with an overflowing K is a documented, observable approximation —
+never a silent default (K is required, no magic fallback).
+
+The backward pass is a custom VJP like ops/geometry.py's but tile-structured:
+the winner-parameter gather and the gradient scatter-add go through the
+(tiles, K) survivor lists — two tiny one-hot contractions — instead of
+(rays -> N) global gathers/scatters, which removes the O(N) factor from the
+backward for large scenes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openglraytracer_tpu.models.scene import MISS_T, Scene
+from openglraytracer_tpu.ops.intersect import (
+    INF_T,
+    _DIV_EPS,
+    _SQRT_EPS,
+    Hit,
+    _fold_chunk,
+    _init_best,
+    _safe_div,
+    plane_candidates,
+)
+from openglraytracer_tpu.ops.shading import SHADOW_EPS
+
+_BBOX_MARGIN = 1.0e-3  # fp slack when bounding shadow origins
+
+
+# ---------------------------------------------------------------------------
+# Image <-> tile layout
+# ---------------------------------------------------------------------------
+
+def tile_image(x, th: int, tw: int):
+    """(H, W, C) -> (T, P, C) tile-major, P = th*tw. H % th == W % tw == 0."""
+    h, w, c = x.shape
+    assert h % th == 0 and w % tw == 0, "tile must divide the image"
+    return (x.reshape(h // th, th, w // tw, tw, c)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape((h // th) * (w // tw), th * tw, c))
+
+
+def untile_image(y, height: int, width: int, th: int, tw: int):
+    """Inverse of tile_image for flat (T*P, C) data -> (H, W, C)."""
+    c = y.shape[-1]
+    return (y.reshape(height // th, width // tw, th, tw, c)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(height, width, c))
+
+
+# ---------------------------------------------------------------------------
+# Cones and the conservative sphere-vs-cone test
+# ---------------------------------------------------------------------------
+
+def tile_cones(dirs):
+    """dirs (T, P, 3) unit -> (axis (T, 3), cos_half (T,))."""
+    s = jnp.sum(dirs, axis=1)
+    axis = s * jax.lax.rsqrt(jnp.maximum(jnp.sum(s * s, -1, keepdims=True),
+                                         _SQRT_EPS))
+    cos_half = jnp.min(jnp.sum(axis[:, None, :] * dirs, -1), axis=1)
+    return axis, jnp.clip(cos_half, -1.0, 1.0)
+
+
+def sphere_vs_cone(apex, axis, cos_half, centers, radii, max_dist=None):
+    """Conservative overlap of spheres with per-tile cones.
+
+    apex (T, 3) or (3,); axis (T, 3); cos_half (T,); centers (N, 3);
+    radii (N,); optional max_dist (T,) range prune (occluder center within
+    max_dist + r of the apex). Returns (T, N) bool.
+
+    The test angle(axis, v) <= half + asin(r/|v|) is evaluated as
+    cos(angle) >= cos(half)*cos(asin) - sin(half)*sin(asin) with
+    sin(asin) = r/|v|, all sqrt/arith — no trig. A cone with
+    cos_half <= 0 (half-angle >= 90 deg: spherically non-convex) keeps
+    everything, staying conservative.
+    """
+    apex = jnp.atleast_2d(apex)                          # (T or 1, 3)
+    vx = centers[None, :, 0] - apex[:, 0:1]              # (T, N)
+    vy = centers[None, :, 1] - apex[:, 1:2]
+    vz = centers[None, :, 2] - apex[:, 2:3]
+    d2 = vx * vx + vy * vy + vz * vz
+    inv_d = jax.lax.rsqrt(jnp.maximum(d2, _SQRT_EPS))
+    ca = (axis[:, 0:1] * vx + axis[:, 1:2] * vy + axis[:, 2:3] * vz) * inv_d
+
+    r2 = (radii * radii)[None, :]
+    inside = d2 <= r2                                    # apex inside sphere
+    sin_r = jnp.minimum(radii[None, :] * inv_d, 1.0)
+    cos_r = jnp.sqrt(jnp.maximum(1.0 - sin_r * sin_r, 0.0))
+    ch = cos_half[:, None]
+    sh = jnp.sqrt(jnp.maximum(1.0 - ch * ch, 0.0))
+    keep = ca >= ch * cos_r - sh * sin_r
+    keep = keep | inside | (ch <= 0.0)
+    if max_dist is not None:
+        keep = keep & (jnp.sqrt(d2) - radii[None, :] <= max_dist[:, None])
+    return keep
+
+
+def compact_mask(mask, k: int):
+    """Dense top-K compaction of a (T, N) bool mask.
+
+    Returns (idx (T, K) int32 ascending among survivors, valid (T, K) bool,
+    count (T,) int32 true survivor totals — count > K means overflow)."""
+    n = mask.shape[-1]
+    key = jnp.where(mask, jnp.arange(n, 0, -1, dtype=jnp.int32)[None, :], 0)
+    vals, idx = jax.lax.top_k(key, min(k, n))
+    return idx.astype(jnp.int32), vals > 0, jnp.sum(mask, axis=-1,
+                                                    dtype=jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Culled geometry: forward
+# ---------------------------------------------------------------------------
+
+class CullAux(NamedTuple):
+    """Survivor lists + counts (counts are diagnostics: count > K = overflow)."""
+    p_idx: jnp.ndarray      # (T, Kp) primary survivor object ids
+    p_valid: jnp.ndarray    # (T, Kp)
+    p_count: jnp.ndarray    # (T,)
+    s_count: jnp.ndarray    # (L, T)
+    j_local: jnp.ndarray    # (T, P) winning survivor slot (-1 = miss/plane)
+
+
+def _sphere_table(scene: Scene):
+    """(N, 6) [cx cy cz r mat gid] — ids as exact small floats."""
+    n = scene.spheres.count
+    return jnp.concatenate([
+        scene.spheres.center,
+        scene.spheres.radius[:, None],
+        scene.spheres.material_id.astype(scene.spheres.center.dtype)[:, None],
+        jnp.arange(n, dtype=scene.spheres.center.dtype)[:, None],
+    ], axis=-1)
+
+
+def _gather_tile_rows(table, idx):
+    """table (N, F), idx (T, K) -> (T, K, F). T*K rows is small (~1e4-1e6)."""
+    return jnp.take(table, idx.reshape(-1), axis=0).reshape(
+        idx.shape + (table.shape[-1],))
+
+
+def culled_geometry(scene: Scene, origins, dirs, tile_p: int, kp: int,
+                    ks: int, shadow_lights: tuple | None = None):
+    """Closest hit + all-light occlusion with tile-cone culling.
+
+    origins, dirs: (R, 3) in TILE-MAJOR order (tile_image), R = T * tile_p;
+    every origin must be the same point (primary pinhole rays). dirs unit.
+    shadow_lights: static per-light bools — False skips that light's shadow
+    pass (shading.static_shadow_mask). Returns (Hit (R,), occluded (R, L),
+    CullAux).
+    """
+    assert scene.boxes.count == 0, "culled engine: sphere/plane scenes only"
+    r_total = origins.shape[0]
+    t_tiles = r_total // tile_p
+    dtype = origins.dtype
+    n_sph = scene.spheres.count
+    centers, radii = scene.spheres.center, scene.spheres.radius
+    o0 = origins[0]
+
+    dirs_t = dirs.reshape(t_tiles, tile_p, 3)
+    axis, cos_half = tile_cones(dirs_t)
+
+    # ---- primary broad phase
+    pmask = sphere_vs_cone(o0, axis, cos_half, centers, radii)
+    p_idx, p_valid, p_count = compact_mask(pmask, kp)
+    kp_eff = p_idx.shape[-1]
+    rows = _gather_tile_rows(_sphere_table(scene), p_idx)   # (T, Kp, 6)
+    cx, cy, cz = rows[..., 0], rows[..., 1], rows[..., 2]   # (T, Kp)
+    rad = rows[..., 3]
+
+    # ---- narrow phase per (tile, pixel, survivor). The arithmetic mirrors
+    # intersect.sphere_candidates OPERATION FOR OPERATION so candidate t's
+    # are bit-identical to the exact path's — a reformulation (e.g. qa = 1
+    # for unit dirs) rounds differently and flips disc's sign on tangent
+    # grazes, visibly changing ~1e-4 of pixels vs the exact engine.
+    ocx = o0[0] - cx                                        # (T, Kp): o - c
+    ocy = o0[1] - cy
+    ocz = o0[2] - cz
+    qc = (ocx * ocx + ocy * ocy + ocz * ocz
+          - rad * rad)[:, None, :]                          # (T, 1, Kp)
+    dx = dirs_t[..., 0:1]                                   # (T, P, 1)
+    dy = dirs_t[..., 1:2]
+    dz = dirs_t[..., 2:3]
+    qa = dx * dx + dy * dy + dz * dz                        # (T, P, 1)
+    qb = 2.0 * (dx * ocx[:, None, :] + dy * ocy[:, None, :]
+                + dz * ocz[:, None, :])                     # (T, P, Kp)
+    qd = qb * qb - 4.0 * qa * qc
+    ok = (qd >= 0.0) & (qa > _DIV_EPS) & p_valid[:, None, :]
+    sq = jnp.where(ok, jnp.sqrt(jnp.maximum(qd, _SQRT_EPS)), 0.0)
+    inv_2qa = _safe_div(jnp.asarray(0.5, dtype), qa)
+    t1 = (-qb + sq) * inv_2qa
+    t2 = (-qb - sq) * inv_2qa
+    t_near = jnp.minimum(t1, t2)
+    t_far = jnp.maximum(t1, t2)
+    ok = ok & (t_far >= 0.0)
+    inside = ok & (t_near < 0.0)
+    t = jnp.where(inside, t_far, t_near)
+    ok = ok & (t > 0.0)
+    t = jnp.where(ok, t, INF_T)
+
+    # ---- fold winner: min-t + first-survivor tie (ascending object order)
+    tc = jnp.min(t, axis=-1)                                # (T, P)
+    iota = jnp.arange(kp_eff, dtype=jnp.int32)[None, None, :]
+    j = jnp.min(jnp.where(t == tc[..., None], iota, kp_eff), axis=-1)
+    sel = iota == j[..., None]                              # (T, P, Kp)
+    # one batched MXU contraction folds center/radius/mat/gid of the winner
+    win = jnp.einsum("tpk,tkf->tpf", sel.astype(dtype), rows,
+                     precision=jax.lax.Precision.HIGHEST)   # (T, P, 6)
+    ic = jnp.any(sel & inside, axis=-1)
+
+    hit_s = tc < MISS_T
+    t_flat = tc.reshape(-1)
+    in_flat = ic.reshape(-1)
+    mat_flat = win[..., 4].reshape(-1).astype(jnp.int32)
+    gid_flat = win[..., 5].reshape(-1).astype(jnp.int32)
+    c_flat = win[..., 0:3].reshape(-1, 3)
+    j_local = jnp.where(hit_s, j, -1)
+
+    # finalize sphere normal from the winning center (see closest_hit_sp)
+    hs_flat = hit_s.reshape(-1)
+    ts = jnp.where(hs_flat, t_flat, 0.0)
+    p = origins + ts[:, None] * dirs
+    u = p - c_flat
+    inv_len = jax.lax.rsqrt(jnp.maximum(jnp.sum(u * u, -1), _SQRT_EPS))
+    sgn = jnp.where(in_flat, -inv_len, inv_len) * hs_flat.astype(dtype)
+    n = u * sgn[:, None]
+
+    # ---- planes: dense (tiny count), merged with sphere-first tie order
+    pln = scene.planes
+    if pln.count:
+        tpl, npl, _ = plane_candidates(origins, dirs, pln.normal, pln.offset,
+                                       jnp.ones((pln.count,), bool))
+        bp = _fold_chunk(_init_best(r_total, dtype), tpl, npl,
+                         jnp.zeros_like(tpl, bool), pln.material_id,
+                         n_sph, 0)
+        sw = t_flat <= bp.t
+        t_flat = jnp.where(sw, t_flat, bp.t)
+        n = jnp.where(sw[:, None], n, bp.n)
+        in_flat = jnp.where(sw, in_flat, bp.inside)
+        mat_flat = jnp.where(sw, mat_flat, bp.material_id)
+        gid_flat = jnp.where(sw, gid_flat, bp.obj_id)
+        j_local = jnp.where(sw.reshape(t_tiles, tile_p), j_local, -1)
+
+    hit_mask = t_flat < MISS_T
+    t_for_p = jnp.where(hit_mask, t_flat, 0.0)
+    p = origins + t_for_p[:, None] * dirs
+    hit = Hit(t=t_flat, p=p, n=n, inside=in_flat & hit_mask,
+              material_id=jnp.where(hit_mask, mat_flat, 0),
+              obj_id=jnp.where(hit_mask, gid_flat, -1), hit=hit_mask)
+
+    # ---- shadows: per-light cone from the light over the tile's hit bbox
+    shadow_org = hit.p + hit.n * SHADOW_EPS
+    so_t = shadow_org.reshape(t_tiles, tile_p, 3)
+    hit_t = hit_mask.reshape(t_tiles, tile_p)
+    big = jnp.asarray(INF_T, dtype)
+    masked = jnp.where(hit_t[..., None], so_t, big)
+    bmin = jnp.min(masked, axis=1) - _BBOX_MARGIN          # (T, 3)
+    masked = jnp.where(hit_t[..., None], so_t, -big)
+    bmax = jnp.max(masked, axis=1) + _BBOX_MARGIN
+    empty = ~jnp.any(hit_t, axis=1)                        # (T,)
+    # 8 bbox corners (T, 8, 3)
+    sel_corner = jnp.asarray(
+        [[(c >> a) & 1 for a in range(3)] for c in range(8)], dtype)
+    corners = bmin[:, None, :] * (1.0 - sel_corner) \
+        + bmax[:, None, :] * sel_corner
+
+    n_lights = scene.lights.count
+    occ_cols = []
+    s_counts = []
+    for li in range(n_lights):
+        if shadow_lights is not None and not shadow_lights[li]:
+            occ_cols.append(jnp.zeros((r_total,), bool))
+            s_counts.append(jnp.zeros((t_tiles,), jnp.int32))
+            continue
+        lpos = scene.lights.position[li]
+        cvec = corners - lpos                              # (T, 8, 3)
+        clen = jnp.sqrt(jnp.maximum(jnp.sum(cvec * cvec, -1), _SQRT_EPS))
+        cdir = cvec / clen[..., None]
+        axis_s = jnp.sum(cdir, axis=1)
+        axis_s = axis_s * jax.lax.rsqrt(
+            jnp.maximum(jnp.sum(axis_s * axis_s, -1, keepdims=True),
+                        _SQRT_EPS))
+        cos_s = jnp.min(jnp.sum(axis_s[:, None, :] * cdir, -1), axis=1)
+        max_d = jnp.max(clen, axis=1)
+        smask = sphere_vs_cone(lpos, axis_s, jnp.clip(cos_s, -1.0, 1.0),
+                               centers, radii, max_dist=max_d)
+        smask = smask & (~empty)[:, None]
+        s_idx, s_valid, s_count = compact_mask(smask, ks)
+        s_counts.append(s_count)
+        srows = _gather_tile_rows(
+            jnp.concatenate([centers, radii[:, None]], -1), s_idx)
+        scx, scy, scz, sr = (srows[..., 0], srows[..., 1], srows[..., 2],
+                             srows[..., 3])                # (T, Ks)
+
+        # unnormalized segment light - p (:809): from the HIT POINT, while
+        # the cast origin is the offset so_t — matching the exact path
+        tl = lpos[None, None, :] - hit.p.reshape(t_tiles, tile_p, 3)
+        qa = jnp.sum(tl * tl, axis=-1)                     # (T, P)
+        # sqrt-free segment-occlusion predicate (see sphere_blocked)
+        socx = so_t[..., 0:1] - scx[:, None, :]            # (T, P, Ks)
+        socy = so_t[..., 1:2] - scy[:, None, :]
+        socz = so_t[..., 2:3] - scz[:, None, :]
+        qb = 2.0 * (tl[..., 0:1] * socx + tl[..., 1:2] * socy
+                    + tl[..., 2:3] * socz)
+        qcs = socx * socx + socy * socy + socz * socz \
+            - (sr * sr)[:, None, :]
+        qa_b = qa[..., None]
+        f_end = qa_b + qb + qcs
+        inside_src = qcs < 0.0
+        blocked_in = inside_src & (f_end > 0.0)
+        disc_ok = qb * qb >= 4.0 * qa_b * qcs
+        vertex_in = (qb < 0.0) & (-qb < 2.0 * qa_b)
+        blocked = jnp.where(inside_src, blocked_in,
+                            (f_end < 0.0) | (disc_ok & vertex_in))
+        blocked = blocked & (qa_b > _DIV_EPS) & s_valid[:, None, :]
+        occ = jnp.any(blocked, axis=-1).reshape(-1)        # (R,)
+
+        if pln.count:
+            tpl, _, _ = plane_candidates(shadow_org,
+                                         lpos[None, :] - hit.p,
+                                         pln.normal, pln.offset,
+                                         jnp.ones((pln.count,), bool),
+                                         with_normals=False)
+            occ = occ | jnp.any(tpl < 1.0, axis=-1)
+        occ_cols.append(occ)
+
+    occluded = jnp.stack(occ_cols, axis=-1) if n_lights else \
+        jnp.zeros((r_total, 0), bool)
+    aux = CullAux(p_idx=p_idx, p_valid=p_valid, p_count=p_count,
+                  s_count=jnp.stack(s_counts) if n_lights else
+                  jnp.zeros((0, t_tiles), jnp.int32),
+                  j_local=j_local)
+    return hit, occluded, aux
+
+
+def culled_material_rows(scene: Scene, hit: Hit, aux: CullAux, tile_p: int):
+    """Per-ray packed material rows (R, 20) routed through the tile survivor
+    lists: gather materials for the (T, Kp) survivors (small), select the
+    winner's row with the same one-hot contraction as the geometry fold, and
+    patch plane winners through a tiny one-hot over the plane table. Replaces
+    the O(R)-row global material gather that dominates shading time for
+    large material tables (one material per sphere in the 4096-sphere
+    config). Differentiable w.r.t. scene.materials (take + einsum), so
+    material gradients flow exactly as through gather_materials."""
+    from openglraytracer_tpu.ops.shading import material_table
+
+    dtype = scene.spheres.center.dtype
+    r_total = hit.t.shape[0]
+    t_tiles = r_total // tile_p
+    n_sph = scene.spheres.count
+    table = material_table(scene)                           # (K, 20)
+
+    surv_mid = jnp.take(scene.spheres.material_id, aux.p_idx, axis=0)
+    surv_rows = jnp.take(table, surv_mid, axis=0)           # (T, Kp, 20)
+    kp_eff = aux.p_idx.shape[-1]
+    sel = (aux.j_local[..., None]
+           == jnp.arange(kp_eff, dtype=jnp.int32)[None, None, :])
+    rows = jnp.einsum("tpk,tkf->tpf", sel.astype(dtype), surv_rows,
+                      precision=jax.lax.Precision.HIGHEST)
+    rows = rows.reshape(r_total, -1)
+
+    pln = scene.planes
+    if pln.count:
+        pln_rows = jnp.take(table, pln.material_id, axis=0)  # (P, 20)
+        is_pln = hit.hit & (hit.obj_id >= n_sph)
+        pid = jnp.clip(hit.obj_id - n_sph, 0, pln.count - 1)
+        oh = ((pid[:, None] == jnp.arange(pln.count, dtype=jnp.int32)[None])
+              & is_pln[:, None]).astype(dtype)
+        rows = rows + jnp.matmul(oh, pln_rows,
+                                 precision=jax.lax.Precision.HIGHEST)
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# Custom VJP: tile-structured analytic backward
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def culled_geometry_op(scene: Scene, origins, dirs, tile_p: int, kp: int,
+                       ks: int, shadow_lights: tuple | None = None):
+    hit, occ, aux = culled_geometry(scene, origins, dirs, tile_p, kp, ks,
+                                    shadow_lights)
+    return hit, occ, aux
+
+
+def _culled_fwd(scene, origins, dirs, tile_p, kp, ks, shadow_lights):
+    hit, occ, aux = culled_geometry(scene, origins, dirs, tile_p, kp, ks,
+                                    shadow_lights)
+    return (hit, occ, aux), (scene, origins, dirs, hit, aux)
+
+
+def _culled_bwd(tile_p, kp, ks, shadow_lights, res, g):
+    """Analytic winner-only backward (see ops/geometry.py) with the gather
+    and scatter routed through the (tiles, K) survivor lists: O(R*K + T*K*N)
+    one-hot contractions instead of O(R)-row global gathers/scatters."""
+    from openglraytracer_tpu.ops.geometry import _winner_recompute
+
+    scene, origins, dirs, hit, aux = res
+    g_hit, _g_occ, _g_aux = g
+    gt, gp, gn = g_hit.t, g_hit.p, g_hit.n
+
+    n_sph = scene.spheres.count
+    n_pln = scene.planes.count
+    r_total = origins.shape[0]
+    t_tiles = r_total // tile_p
+    dtype = origins.dtype
+
+    idx = hit.obj_id
+    hm = hit.hit
+    is_sph = hm & (idx < n_sph) & (idx >= 0)
+
+    # winner sphere params via the tile survivor lists (tiny gathers)
+    table = jnp.concatenate([scene.spheres.center,
+                             scene.spheres.radius[:, None]], -1)  # (N, 4)
+    rows = _gather_tile_rows(table, aux.p_idx)              # (T, Kp, 4)
+    jl = aux.j_local                                        # (T, P)
+    sel = (jl[..., None] ==
+           jnp.arange(rows.shape[1], dtype=jnp.int32)[None, None, :])
+    win = jnp.einsum("tpk,tkf->tpf", sel.astype(dtype), rows,
+                     precision=jax.lax.Precision.HIGHEST)   # (T, P, 4)
+    c = win[..., 0:3].reshape(-1, 3)
+    r = win[..., 3].reshape(-1)
+    r = jnp.where(is_sph, r, 1.0)
+
+    if n_pln:
+        pid = jnp.clip(idx - n_sph, 0, n_pln - 1)
+        pn = scene.planes.normal[pid]
+        poff = scene.planes.offset[pid]
+    else:
+        pid = jnp.zeros_like(idx)
+        pn = jnp.concatenate(
+            [jnp.zeros((r_total, 2), dtype), jnp.ones((r_total, 1), dtype)],
+            axis=-1)
+        poff = jnp.zeros(r_total, dtype)
+
+    live = hm
+    gt = jnp.where(live, gt, 0.0)
+    gn = jnp.where(live[:, None], gn, 0.0)
+    gp_direct_o = jnp.where(live[:, None], 0.0, gp)
+    gp = jnp.where(live[:, None], gp, 0.0)
+
+    _, vjp_fn = jax.vjp(
+        lambda c_, r_, pn_, poff_, o_, d_: _winner_recompute(
+            c_, r_, pn_, poff_, o_, d_, is_sph, hit.inside, hm),
+        c, r, pn, poff, origins, dirs)
+    gc, gr, gpn, gpoff, go, gd = vjp_fn((gt, gp, gn))
+    go = go + gp_direct_o
+
+    zero_like = functools.partial(
+        jax.tree_util.tree_map,
+        lambda x: (jnp.zeros_like(x) if jnp.issubdtype(x.dtype, jnp.floating)
+                   else np.zeros(x.shape, jax.dtypes.float0)))
+    g_scene = zero_like(scene)
+
+    if n_sph:
+        contrib = jnp.concatenate([gc, gr[:, None]], -1)
+        contrib = jnp.where(is_sph[:, None], contrib, 0.0)
+        contrib_t = contrib.reshape(t_tiles, tile_p, 4)
+        # stage 1: rays -> tile survivor slots (per-tile one-hot transpose)
+        g_rows = jnp.einsum("tpk,tpf->tkf", sel.astype(dtype), contrib_t,
+                            precision=jax.lax.Precision.HIGHEST)  # (T,Kp,4)
+        # stage 2: (T*Kp) slots -> N objects (small one-hot scatter)
+        flat_idx = aux.p_idx.reshape(-1)
+        oh = (flat_idx[:, None]
+              == jnp.arange(n_sph, dtype=jnp.int32)[None, :]).astype(dtype)
+        g_sph = jnp.matmul(oh.T, g_rows.reshape(-1, 4),
+                           precision=jax.lax.Precision.HIGHEST)   # (N, 4)
+        g_scene = g_scene._replace(spheres=g_scene.spheres._replace(
+            center=g_sph[:, :3], radius=g_sph[:, 3]))
+    if n_pln:
+        from openglraytracer_tpu.ops.gathers import scatter_add_rows
+        pln_mask = hm & (~is_sph)
+        gpn = jnp.where(pln_mask[:, None], gpn, 0.0)
+        gpoff = jnp.where(pln_mask, gpoff, 0.0)
+        g_rows = scatter_add_rows(
+            pid, jnp.concatenate([gpn, gpoff[:, None]], -1), n_pln)
+        g_scene = g_scene._replace(planes=g_scene.planes._replace(
+            normal=g_rows[:, :3], offset=g_rows[:, 3]))
+
+    return g_scene, go, gd
+
+
+culled_geometry_op.defvjp(_culled_fwd, _culled_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Host-side K sizing
+# ---------------------------------------------------------------------------
+
+def cull_counts(scene: Scene, camera, height: int, width: int,
+                tile=(32, 32), shadow_lights: tuple | None = None):
+    """Per-tile survivor counts (primary (T,), shadow (L, T)) for K sizing.
+    Runs a cheap jitted pass with ks = kp = N (exact superset)."""
+    from openglraytracer_tpu.ops.raygen import generate_rays
+
+    th, tw = tile
+    origins, dirs = generate_rays(camera, height, width)
+    o = tile_image(origins, th, tw).reshape(-1, 3)
+    d = tile_image(dirs, th, tw).reshape(-1, 3)
+    n = max(int(scene.spheres.count), 1)
+
+    @functools.partial(jax.jit, static_argnums=())
+    def run(scene, o, d):
+        _, _, aux = culled_geometry(scene, o, d, th * tw, n, n,
+                                    shadow_lights)
+        return aux.p_count, aux.s_count
+
+    return run(scene, o, d)
+
+
+def suggest_cull_sizes(scene: Scene, camera, height: int, width: int,
+                       tile=(32, 32), headroom: float = 1.5,
+                       min_k: int = 8,
+                       shadow_lights: tuple | None = None) -> tuple[int, int]:
+    """(kp, ks) with headroom over the observed max survivor counts, rounded
+    up to a multiple of 8 and clipped to N. Headroom matters when the scene
+    will move (inverse-rendering fits). Lights disabled by shadow_lights
+    don't contribute to ks (ambient-only lights would otherwise force
+    ks = N — their apex sits inside the scene)."""
+    if shadow_lights is None:
+        from openglraytracer_tpu.ops.shading import static_shadow_mask
+        shadow_lights = static_shadow_mask(scene)
+    p_count, s_count = cull_counts(scene, camera, height, width, tile,
+                                   shadow_lights)
+    n = int(scene.spheres.count)
+
+    def size(c):
+        k = int(np.ceil(float(jnp.max(c)) * headroom))
+        return max(min_k, min(n, -(-k // 8) * 8))
+
+    ks = size(s_count) if s_count.size else min_k
+    return size(p_count), ks

@@ -42,7 +42,8 @@ from openglraytracer_tpu.ops.intersect import (
 from openglraytracer_tpu.ops.shading import SHADOW_EPS
 
 
-def _forward(scene: Scene, origins, dirs, engine: str, chunk_size: int):
+def _forward(scene: Scene, origins, dirs, engine: str, chunk_size: int,
+             shadow_lights):
     if engine == "pallas":
         from openglraytracer_tpu.ops.pallas_render import pallas_geometry
         geo = pallas_geometry(scene, origins, dirs)
@@ -51,7 +52,8 @@ def _forward(scene: Scene, origins, dirs, engine: str, chunk_size: int):
     shadow_org = hit.p + hit.n * SHADOW_EPS
     to_lights = scene.lights.position[None, :, :] - hit.p[:, None, :]
     occ = shadow_occlusion_sp(scene, shadow_org, to_lights,
-                              chunk_size=chunk_size)
+                              chunk_size=chunk_size,
+                              lights_mask=shadow_lights)
     return hit, occ
 
 
@@ -105,19 +107,24 @@ def _winner_recompute(c, r, pn, poff, o, d, is_sph, inside, hit_mask):
     return t, p, n
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def geometry_op(scene: Scene, origins, dirs, engine: str = "xla",
-                chunk_size: int = 512):
-    """Closest hit + per-light occlusion with the analytic backward."""
-    return _forward(scene, origins, dirs, engine, chunk_size)
+                chunk_size: int = 512, shadow_lights: tuple | None = None):
+    """Closest hit + per-light occlusion with the analytic backward.
+
+    shadow_lights: static per-light bools — False skips that light's shadow
+    casts (see shading.static_shadow_mask); occlusion is binary so this is
+    invisible to the VJP."""
+    return _forward(scene, origins, dirs, engine, chunk_size, shadow_lights)
 
 
-def _geometry_fwd(scene, origins, dirs, engine, chunk_size):
-    hit, occ = _forward(scene, origins, dirs, engine, chunk_size)
+def _geometry_fwd(scene, origins, dirs, engine, chunk_size, shadow_lights):
+    hit, occ = _forward(scene, origins, dirs, engine, chunk_size,
+                        shadow_lights)
     return (hit, occ), (scene, origins, dirs, hit)
 
 
-def _geometry_bwd(engine, chunk_size, res, g):
+def _geometry_bwd(engine, chunk_size, shadow_lights, res, g):
     scene, origins, dirs, hit = res
     g_hit, _g_occ = g                       # occlusion is binary: zero grad
     gt, gp, gn = g_hit.t, g_hit.p, g_hit.n  # float cotangents

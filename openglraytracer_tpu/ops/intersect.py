@@ -486,7 +486,8 @@ def closest_hit_sp(scene: Scene, origins, dirs,
 
 
 def shadow_occlusion_sp(scene: Scene, shadow_org, to_lights,
-                        chunk_size: int = 512) -> jnp.ndarray:
+                        chunk_size: int = 512,
+                        lights_mask: tuple | None = None) -> jnp.ndarray:
     """All-lights shadow occlusion in ONE scan over the scene (sphere/plane
     scenes). shadow_org (R, 3) is shared by every light (p + 0.01*n, :808);
     to_lights is (R, L, 3) unnormalized segments. Returns (R, L) bool.
@@ -495,15 +496,21 @@ def shadow_occlusion_sp(scene: Scene, shadow_org, to_lights,
     vectors and the qc term of the occlusion quadratic depend only on the
     shared origin, so each sphere chunk computes them once and reuses them
     for every light's sqrt-free predicate (see ``sphere_blocked``).
+
+    lights_mask: static per-light bools (shading.static_shadow_mask) — False
+    lights get no shadow casts and report unoccluded (output-identical for
+    ambient-only lights whose occlusion is multiplied by zero anyway).
     """
     r, n_lights = to_lights.shape[0], to_lights.shape[1]
     occ = [jnp.zeros((r,), bool) for _ in range(n_lights)]
+    active = [j for j in range(n_lights)
+              if lights_mask is None or lights_mask[j]]
 
-    lx = [to_lights[:, j, 0:1] for j in range(n_lights)]   # (R, 1) each
-    ly = [to_lights[:, j, 1:2] for j in range(n_lights)]
-    lz = [to_lights[:, j, 2:3] for j in range(n_lights)]
-    qa = [_dot3(lx[j], ly[j], lz[j], lx[j], ly[j], lz[j])
-          for j in range(n_lights)]
+    lx = {j: to_lights[:, j, 0:1] for j in active}         # (R, 1) each
+    ly = {j: to_lights[:, j, 1:2] for j in active}
+    lz = {j: to_lights[:, j, 2:3] for j in active}
+    qa = {j: _dot3(lx[j], ly[j], lz[j], lx[j], ly[j], lz[j])
+          for j in active}
 
     sph: Spheres = scene.spheres
     if sph.count:
@@ -522,7 +529,7 @@ def shadow_occlusion_sp(scene: Scene, shadow_org, to_lights,
             ocz = shadow_org[:, None, 2] - c[None, :, 2]
             qc = _dot3(ocx, ocy, ocz, ocx, ocy, ocz) - (rad * rad)[None, :]
             inside_src = qc < 0.0
-            for j in range(n_lights):
+            for j in active:
                 qb = 2.0 * _dot3(lx[j], ly[j], lz[j], ocx, ocy, ocz)
                 f_end = qa[j] + qb + qc                    # f(1)
                 blocked_in = inside_src & (f_end > 0.0)
@@ -537,7 +544,7 @@ def shadow_occlusion_sp(scene: Scene, shadow_org, to_lights,
     pln: Planes = scene.planes
     if pln.count:
         v = jnp.ones((pln.count,), bool)
-        for j in range(n_lights):
+        for j in active:
             t, _, _ = plane_candidates(shadow_org, to_lights[:, j, :],
                                        pln.normal, pln.offset, v,
                                        with_normals=False)

@@ -98,29 +98,50 @@ def trace_rays(scene: Scene, origins, dirs, depth: int = 0,
 
 
 def trace_rays_fast(scene: Scene, origins, dirs, depth: int = 0,
-                    chunk_size: int = 512, engine: str = "xla") -> jnp.ndarray:
+                    chunk_size: int = 512, engine: str = "xla",
+                    cull: tuple | None = None,
+                    shadow_lights: tuple | None = None) -> jnp.ndarray:
     """Trace with the analytic O(rays) geometry VJP (ops/geometry.py):
     forward identical to trace_rays; backward gathers each ray's winning
     object, replays one candidate computation, and scatter-adds — instead of
     autodiff re-scanning every object. Sphere/plane scenes only.
 
-    engine: 'xla' (default) or 'pallas' (fused Mosaic kernel forward).
+    engine: 'xla' (default), 'pallas' (fused Mosaic kernel forward), or
+    'culled' (tile-cone broad phase, ops/accel.py — requires cull =
+    (tile_p, kp, ks) and rays in tile-major order with a shared origin).
+    Bounce children of a culled trace fall back to 'xla' (bounce rays have
+    no shared origin to build cones from).
     """
     from openglraytracer_tpu.ops.geometry import geometry_op
     from openglraytracer_tpu.ops.shading import phong_shade_lit
 
-    hit, occ = geometry_op(scene, origins, dirs, engine, chunk_size)
-    color = phong_shade_lit(scene, dirs, hit, occ)
+    mat_rows = None
+    if engine == "culled":
+        from openglraytracer_tpu.ops.accel import (culled_geometry_op,
+                                                   culled_material_rows)
+        assert cull is not None, "engine='culled' needs cull=(tile_p, kp, ks)"
+        tile_p, kp, ks = cull
+        hit, occ, aux = culled_geometry_op(scene, origins, dirs,
+                                           tile_p, kp, ks, shadow_lights)
+        mat_rows = culled_material_rows(scene, hit, aux, tile_p)
+        child_engine = "xla"
+    else:
+        hit, occ = geometry_op(scene, origins, dirs, engine, chunk_size,
+                               shadow_lights)
+        child_engine = engine
+    color = phong_shade_lit(scene, dirs, hit, occ, mat_rows=mat_rows)
     if depth > 0:
         color = _apply_bounces(
             scene, dirs, hit, color, depth,
             lambda o, d, dd: trace_rays_fast(scene, o, d, dd,
                                              chunk_size=chunk_size,
-                                             engine=engine))
+                                             engine=child_engine,
+                                             shadow_lights=shadow_lights))
     return jnp.where(hit.hit[:, None], color, 0.0)
 
 
-def pick_tracer(scene: Scene, engine: str = "auto"):
+def pick_tracer(scene: Scene, engine: str = "auto",
+                shadow_lights: tuple | None = None):
     """Select the trace implementation by engine name:
       'auto'          -> 'xla' for sphere/plane scenes, 'autodiff' for OBBs
       'xla'           -> XLA forward + analytic O(R) VJP
@@ -136,7 +157,8 @@ def pick_tracer(scene: Scene, engine: str = "auto"):
     assert supports_scene(scene), \
         f"engine='{engine}' supports sphere/plane scenes; OBBs need 'autodiff'"
     return lambda s, o, d, depth=0, chunk_size=512, remat=False: \
-        trace_rays_fast(s, o, d, depth, chunk_size=chunk_size, engine=engine)
+        trace_rays_fast(s, o, d, depth, chunk_size=chunk_size, engine=engine,
+                        shadow_lights=shadow_lights)
 
 
 def trace_rays_mirror(scene: Scene, origins, dirs, depth: int,
@@ -173,26 +195,62 @@ def trace_rays_mirror(scene: Scene, origins, dirs, depth: int,
     return accum
 
 
-@partial(jax.jit, static_argnames=("height", "width", "depth", "chunk_size",
-                                   "remat", "row_block", "mirror_only",
-                                   "engine"))
 def render(scene: Scene, camera: Camera, height: int, width: int,
            depth: int = 0, chunk_size: int = 512, remat: bool = False,
            row_block: int | None = None,
-           mirror_only: bool = False, engine: str = "auto") -> jnp.ndarray:
+           mirror_only: bool = False, engine: str = "auto",
+           cull: tuple | None = None,
+           shadow_lights: tuple | None = None) -> jnp.ndarray:
     """Render an (H, W, 3) image. Pure function of (scene, camera) — the
     reference's statelessness (everything recomputed from `time` each frame,
     SURVEY.md §5 checkpoint entry) preserved by construction.
 
     row_block: trace rays in blocks of `row_block` image rows via lax.map to
     bound peak memory at high resolutions (the XLA analog of tiling).
+
+    engine='culled' needs cull=((tile_h, tile_w), kp, ks) — size kp/ks with
+    ops/accel.suggest_cull_sizes (counts above K drop objects: conservative
+    sizing is the caller's contract).
+
+    shadow_lights: static per-light bools; None auto-detects ambient-only
+    lights (whose shadows cannot affect the image) when the scene is
+    concrete, and casts all shadows when it is traced.
     """
+    if shadow_lights is None:
+        from openglraytracer_tpu.ops.shading import static_shadow_mask
+        shadow_lights = static_shadow_mask(scene)
+    return _render_jit(scene, camera, height, width, depth, chunk_size,
+                       remat, row_block, mirror_only, engine, cull,
+                       shadow_lights)
+
+
+@partial(jax.jit, static_argnames=("height", "width", "depth", "chunk_size",
+                                   "remat", "row_block", "mirror_only",
+                                   "engine", "cull", "shadow_lights"))
+def _render_jit(scene: Scene, camera: Camera, height: int, width: int,
+                depth: int, chunk_size: int, remat: bool,
+                row_block: int | None, mirror_only: bool, engine: str,
+                cull: tuple | None,
+                shadow_lights: tuple | None) -> jnp.ndarray:
     origins, dirs = generate_rays(camera, height, width)
+
+    if engine == "culled":
+        from openglraytracer_tpu.ops.accel import tile_image, untile_image
+        assert cull is not None, \
+            "engine='culled' needs cull=((th, tw), kp, ks)"
+        (th, tw), kp, ks = cull
+        o = tile_image(origins, th, tw).reshape(-1, 3)
+        d = tile_image(dirs, th, tw).reshape(-1, 3)
+        colors = trace_rays_fast(scene, o, d, depth, chunk_size=chunk_size,
+                                 engine="culled", cull=(th * tw, kp, ks),
+                                 shadow_lights=shadow_lights)
+        return untile_image(colors, height, width, th, tw)
+
     o = origins.reshape(-1, 3)
     d = dirs.reshape(-1, 3)
 
     tracer = (trace_rays_mirror if mirror_only
-              else pick_tracer(scene, engine))
+              else pick_tracer(scene, engine, shadow_lights))
 
     if row_block is None or row_block >= height:
         colors = tracer(scene, o, d, depth, chunk_size=chunk_size, remat=remat)

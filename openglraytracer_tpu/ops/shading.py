@@ -17,6 +17,7 @@ static); each light's occlusion query is a normal-free any_hit pass.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from openglraytracer_tpu.models.scene import Scene
@@ -34,32 +35,61 @@ def _safe_pow(base, exponent):
     return jnp.where(base > 0.0, val, 0.0)
 
 
+def material_table(scene: Scene):
+    """All 20 material columns packed into one (K, 20) table."""
+    m = scene.materials
+    return jnp.concatenate([
+        m.ambient, m.diffuse, m.specular, m.emissive,
+        m.shininess[:, None], m.reflectivity[:, None],
+        m.transparency[:, None], m.refraction_index[:, None],
+    ], axis=-1)
+
+
+def materials_from_rows(scene: Scene, rows):
+    """(R, 20) packed rows -> Materials-like namedtuple of (R, ...) arrays."""
+    return scene.materials._replace(
+        ambient=rows[..., 0:4],
+        diffuse=rows[..., 4:8],
+        specular=rows[..., 8:12],
+        emissive=rows[..., 12:16],
+        shininess=rows[..., 16],
+        reflectivity=rows[..., 17],
+        transparency=rows[..., 18],
+        refraction_index=rows[..., 19],
+    )
+
+
 def gather_materials(scene: Scene, material_id):
     """Gather per-ray material rows. Returns a Materials-like namedtuple of
     (R, ...) arrays.
 
-    All 20 material columns are packed into one (K, 20) table and fetched
-    with a single one-hot MXU matmul (ops/gathers.py) — ~15x faster than 8
-    separate XLA gathers on TPU, and its transpose (the materials gradient)
-    becomes a single MXU scatter."""
+    The packed (K, 20) table is fetched with a single one-hot MXU matmul
+    (ops/gathers.py) — ~15x faster than 8 separate XLA gathers on TPU, and
+    its transpose (the materials gradient) becomes a single MXU scatter."""
     from openglraytracer_tpu.ops.gathers import gather_rows
-    m = scene.materials
-    table = jnp.concatenate([
-        m.ambient, m.diffuse, m.specular, m.emissive,
-        m.shininess[:, None], m.reflectivity[:, None],
-        m.transparency[:, None], m.refraction_index[:, None],
-    ], axis=-1)                                   # (K, 20)
-    rows = gather_rows(table, material_id)        # (R, 20)
-    return m._replace(
-        ambient=rows[:, 0:4],
-        diffuse=rows[:, 4:8],
-        specular=rows[:, 8:12],
-        emissive=rows[:, 12:16],
-        shininess=rows[:, 16],
-        reflectivity=rows[:, 17],
-        transparency=rows[:, 18],
-        refraction_index=rows[:, 19],
-    )
+    rows = gather_rows(material_table(scene), material_id)    # (R, 20)
+    return materials_from_rows(scene, rows)
+
+
+def static_shadow_mask(scene: Scene):
+    """Which lights actually need shadow rays: a light with zero diffuse AND
+    zero specular (the reference's ambient-only 'world light',
+    raytrace_compute.glsl:199-206) cannot change the image when occluded —
+    the ambient term is added regardless of shadowing (:822-836) — so its
+    shadow casts are pure waste. Returns a static tuple of bools, or None if
+    the light parameters are traced (unknown at trace time: cast them all).
+
+    The reference spends 1/3 of its shadow rays on this light (SURVEY.md C14
+    quirk note); skipping them is output-identical by construction.
+    """
+    import numpy as np
+    diff, spec = scene.lights.diffuse, scene.lights.specular
+    if isinstance(diff, jax.core.Tracer) or isinstance(spec, jax.core.Tracer):
+        return None
+    d = np.asarray(diff)
+    s = np.asarray(spec)
+    return tuple(bool(np.any(d[i] != 0.0) or np.any(s[i] != 0.0))
+                 for i in range(scene.lights.count))
 
 
 def shadow_masks(scene: Scene, hit: Hit, chunk_size: int = 512,
@@ -74,11 +104,17 @@ def shadow_masks(scene: Scene, hit: Hit, chunk_size: int = 512,
     return jnp.stack(cols, axis=-1)
 
 
-def phong_shade_lit(scene: Scene, dirs, hit: Hit, occluded) -> jnp.ndarray:
+def phong_shade_lit(scene: Scene, dirs, hit: Hit, occluded,
+                    mat_rows=None) -> jnp.ndarray:
     """ADS Phong given precomputed occlusion masks occluded (R, L) —
     the lighting math with the shadow queries factored out so the Pallas
-    geometry engine can supply them. Returns (R, 3)."""
-    mat = gather_materials(scene, hit.material_id)
+    geometry engine can supply them. Returns (R, 3).
+
+    mat_rows: optional precomputed (R, 20) packed material rows (the culled
+    engine supplies them via its tile survivor lists, skipping the slow
+    global per-ray gather for large material tables)."""
+    mat = (materials_from_rows(scene, mat_rows) if mat_rows is not None
+           else gather_materials(scene, hit.material_id))
     lights = scene.lights
 
     ambient = jnp.zeros_like(mat.ambient)     # (R, 4)

@@ -30,14 +30,20 @@ from openglraytracer_tpu.parallel.mesh import AXIS_X, AXIS_Y
 
 @partial(jax.jit,
          static_argnames=("height", "width", "depth", "chunk_size", "remat",
-                          "mirror_only", "mesh", "engine"))
+                          "mirror_only", "mesh", "engine", "cull",
+                          "shadow_lights"))
 def render_sharded(scene: Scene, camera: Camera, height: int, width: int,
                    *, mesh: Mesh, depth: int = 0, chunk_size: int = 512,
                    remat: bool = False, mirror_only: bool = False,
-                   engine: str = "auto"):
+                   engine: str = "auto", cull: tuple | None = None,
+                   shadow_lights: tuple | None = None):
     """Render (H, W, 3), pixel tiles sharded over the mesh, scene replicated.
 
     Returns a global jax.Array with NamedSharding(mesh, P('dx','dy',None)).
+
+    engine='culled' runs the tile-cone broad phase *per device shard*: each
+    device culls against its own sub-image's cones — cull=((th,tw), kp, ks)
+    as in ops/render.render, with (th, tw) dividing the per-device tile.
     """
     origins, dirs = generate_rays(camera, height, width)   # (H, W, 3)
 
@@ -48,15 +54,32 @@ def render_sharded(scene: Scene, camera: Camera, height: int, width: int,
     assert tile_w * mesh.shape[AXIS_Y] == width, \
         f"width {width} not divisible by mesh dy={mesh.shape[AXIS_Y]}"
 
-    tracer = (trace_rays_mirror if mirror_only
-              else pick_tracer(scene, engine))
+    if engine == "culled":
+        from openglraytracer_tpu.ops.accel import tile_image, untile_image
+        from openglraytracer_tpu.ops.render import trace_rays_fast
+        assert cull is not None, \
+            "engine='culled' needs cull=((th, tw), kp, ks)"
+        (cth, ctw), kp, ks = cull
 
-    def tile_fn(scene_rep, o_tile, d_tile):
-        o = o_tile.reshape(-1, 3)
-        d = d_tile.reshape(-1, 3)
-        colors = tracer(scene_rep, o, d, depth, chunk_size=chunk_size,
-                        remat=remat)
-        return colors.reshape(o_tile.shape)
+        def tile_fn(scene_rep, o_tile, d_tile):
+            o = tile_image(o_tile, cth, ctw).reshape(-1, 3)
+            d = tile_image(d_tile, cth, ctw).reshape(-1, 3)
+            colors = trace_rays_fast(scene_rep, o, d, depth,
+                                     chunk_size=chunk_size, engine="culled",
+                                     cull=(cth * ctw, kp, ks),
+                                     shadow_lights=shadow_lights)
+            return untile_image(colors, o_tile.shape[0], o_tile.shape[1],
+                                cth, ctw)
+    else:
+        tracer = (trace_rays_mirror if mirror_only
+                  else pick_tracer(scene, engine, shadow_lights))
+
+        def tile_fn(scene_rep, o_tile, d_tile):
+            o = o_tile.reshape(-1, 3)
+            d = d_tile.reshape(-1, 3)
+            colors = tracer(scene_rep, o, d, depth, chunk_size=chunk_size,
+                            remat=remat)
+            return colors.reshape(o_tile.shape)
 
     # check_vma=False: the analytic-VJP scatter in the transpose defeats
     # static replication inference; the replicated-scene cotangent still gets

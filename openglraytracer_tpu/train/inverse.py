@@ -66,6 +66,9 @@ class FitConfig:
     log_every: int = 10
     checkpoint_dir: str | None = None
     checkpoint_every: int = 100
+    engine: str = "auto"            # 'auto' | 'xla' | 'pallas' | 'culled'
+    cull: tuple | None = None       # ((th, tw), kp, ks) for engine='culled'
+    row_block: int | None = None    # bound memory at high resolutions
 
 
 def make_train_step(camera: Camera, cfg: FitConfig, mesh=None,
@@ -78,15 +81,19 @@ def make_train_step(camera: Camera, cfg: FitConfig, mesh=None,
     """
     opt = optimizer if optimizer is not None else optax.adam(cfg.learning_rate)
 
-    def loss_fn(params, scene, target):
+    def loss_fn(params, scene, target, shadow_lights):
         s = apply_params(scene, params)
         if mesh is not None:
             img = render_sharded(s, camera, cfg.height, cfg.width, mesh=mesh,
                                  depth=cfg.depth, chunk_size=cfg.chunk_size,
-                                 remat=cfg.remat)
+                                 remat=cfg.remat, engine=cfg.engine,
+                                 cull=cfg.cull, shadow_lights=shadow_lights)
         else:
             img = render(s, camera, cfg.height, cfg.width, depth=cfg.depth,
-                         chunk_size=cfg.chunk_size, remat=cfg.remat)
+                         chunk_size=cfg.chunk_size, remat=cfg.remat,
+                         engine=cfg.engine, cull=cfg.cull,
+                         row_block=cfg.row_block,
+                         shadow_lights=shadow_lights)
         return jnp.mean(jnp.square(img - target))
 
     def init_fn(scene: Scene):
@@ -96,12 +103,22 @@ def make_train_step(camera: Camera, cfg: FitConfig, mesh=None,
                                         extract_params(scene, cfg.trainable))
         return params, opt.init(params)
 
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def step_fn(params, opt_state, scene, target):
-        loss, grads = jax.value_and_grad(loss_fn)(params, scene, target)
+    @partial(jax.jit, donate_argnums=(0, 1), static_argnums=(4,))
+    def _step(params, opt_state, scene, target, shadow_lights):
+        loss, grads = jax.value_and_grad(loss_fn)(params, scene, target,
+                                                  shadow_lights)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
+
+    lights_trainable = any(p.startswith("lights.") for p in cfg.trainable)
+
+    def step_fn(params, opt_state, scene, target):
+        # shadow-skip mask for ambient-only lights: only valid if the light
+        # params are frozen (a trainable light could become non-ambient)
+        from openglraytracer_tpu.ops.shading import static_shadow_mask
+        mask = None if lights_trainable else static_shadow_mask(scene)
+        return _step(params, opt_state, scene, target, mask)
 
     return init_fn, step_fn
 

@@ -1,0 +1,189 @@
+"""Tile-cone culling broad phase (ops/accel.py): the culled engine must be a
+pure acceleration — same discrete decisions as the exact scan, same image up
+to grazing-ray float conditioning, same gradients. The reference has no
+acceleration structure at all (SURVEY.md C18 'no BVH'); conservativeness here
+is the correctness contract that replaces exhaustive scanning."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from openglraytracer_tpu.models.builders import sphere_grid_scene
+from openglraytracer_tpu.ops.accel import (
+    compact_mask,
+    cull_counts,
+    culled_geometry,
+    sphere_vs_cone,
+    suggest_cull_sizes,
+    tile_cones,
+    tile_image,
+    untile_image,
+)
+from openglraytracer_tpu.ops.geometry import geometry_op
+from openglraytracer_tpu.ops.raygen import generate_rays
+from openglraytracer_tpu.ops.render import render, trace_rays_fast
+from openglraytracer_tpu.train.inverse import (
+    DEFAULT_TRAINABLE,
+    apply_params,
+    extract_params,
+)
+
+TILE = (16, 16)
+H = W = 64
+
+
+def _tiled_rays(cam):
+    origins, dirs = generate_rays(cam, H, W)
+    o = tile_image(origins, *TILE).reshape(-1, 3)
+    d = tile_image(dirs, *TILE).reshape(-1, 3)
+    return o, d
+
+
+def test_tile_untile_roundtrip():
+    x = jnp.arange(H * W * 3, dtype=jnp.float32).reshape(H, W, 3)
+    y = tile_image(x, *TILE)
+    assert y.shape == ((H // TILE[0]) * (W // TILE[1]),
+                       TILE[0] * TILE[1], 3)
+    back = untile_image(y.reshape(-1, 3), H, W, *TILE)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_cull_is_conservative():
+    """Every object some ray actually hits must survive its tile's cull."""
+    scene, cam = sphere_grid_scene(8)
+    o, d = _tiled_rays(cam)
+    hit, _ = geometry_op(scene, o, d, "xla", 512)
+
+    dirs_t = d.reshape(-1, TILE[0] * TILE[1], 3)
+    axis, cos_half = tile_cones(dirs_t)
+    mask = np.asarray(sphere_vs_cone(o[0], axis, cos_half,
+                                     scene.spheres.center,
+                                     scene.spheres.radius))
+    obj = np.asarray(hit.obj_id).reshape(dirs_t.shape[0], -1)
+    n_sph = scene.spheres.count
+    for t in range(dirs_t.shape[0]):
+        winners = {int(i) for i in obj[t] if 0 <= i < n_sph}
+        assert winners <= set(np.nonzero(mask[t])[0]), f"tile {t} lost a hit"
+
+
+def test_compact_mask_order_and_overflow():
+    mask = jnp.asarray([[0, 1, 0, 1, 1, 0, 1, 0]], bool)
+    idx, valid, count = compact_mask(mask, 3)
+    assert int(count[0]) == 4                       # true count reports >K
+    np.testing.assert_array_equal(np.asarray(valid[0]), [True] * 3)
+    np.testing.assert_array_equal(np.asarray(idx[0]), [1, 3, 4])  # ascending
+
+
+def test_culled_matches_exact_discrete_and_image():
+    scene, cam = sphere_grid_scene(8)
+    kp, ks = suggest_cull_sizes(scene, cam, H, W, TILE)
+    o, d = _tiled_rays(cam)
+
+    hit_c, occ_c, aux = culled_geometry(scene, o, d,
+                                        TILE[0] * TILE[1], kp, ks)
+    hit_x, occ_x = geometry_op(scene, o, d, "xla", 512)
+
+    # discrete decisions identical
+    np.testing.assert_array_equal(np.asarray(hit_c.obj_id),
+                                  np.asarray(hit_x.obj_id))
+    np.testing.assert_array_equal(np.asarray(hit_c.hit),
+                                  np.asarray(hit_x.hit))
+    np.testing.assert_array_equal(np.asarray(occ_c), np.asarray(occ_x))
+    # no overflow at suggested sizes
+    assert int(jnp.max(aux.p_count)) <= kp
+    # the culled narrow phase mirrors sphere_candidates op-for-op, so hit
+    # distances are BIT-identical to the exact scan (not merely close)
+    np.testing.assert_array_equal(np.asarray(hit_c.t), np.asarray(hit_x.t))
+    np.testing.assert_array_equal(np.asarray(hit_c.n), np.asarray(hit_x.n))
+
+    a = render(scene, cam, H, W, engine="xla")
+    b = render(scene, cam, H, W, engine="culled", cull=(TILE, kp, ks))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_culled_gradients_match_exact():
+    scene, cam = sphere_grid_scene(4)
+    kp, ks = suggest_cull_sizes(scene, cam, H, W, TILE)
+    o, d = _tiled_rays(cam)
+    target = jnp.zeros((H * W, 3), jnp.float32)
+    params = extract_params(scene, DEFAULT_TRAINABLE)
+
+    def loss(params, engine, cull=None):
+        s = apply_params(scene, params)
+        img = trace_rays_fast(s, o, d, 0, engine=engine, cull=cull)
+        return jnp.mean(jnp.square(img - target))
+
+    g_exact = jax.grad(loss)(params, "xla")
+    g_cull = jax.grad(loss)(params, "culled",
+                            (TILE[0] * TILE[1], kp, ks))
+    for k in params:
+        a, b = np.asarray(g_exact[k]), np.asarray(g_cull[k])
+        scale = max(np.abs(a).max(), 1e-8)
+        np.testing.assert_allclose(b, a, atol=5e-3 * scale,
+                                   err_msg=f"grad mismatch for {k}")
+
+
+def test_overflow_is_reported_not_silent():
+    scene, cam = sphere_grid_scene(8)
+    p_count, s_count = cull_counts(scene, cam, H, W, TILE)
+    max_p = int(jnp.max(p_count))
+    assert max_p > 2, "scene too sparse for the overflow test"
+    o, d = _tiled_rays(cam)
+    # undersized K: counts must still report the TRUE survivor totals
+    _, _, aux = culled_geometry(scene, o, d, TILE[0] * TILE[1], 2, 2)
+    assert int(jnp.max(aux.p_count)) == max_p
+
+
+def test_culled_render_with_bounces():
+    """depth > 0: culled primary pass + xla bounce children compose."""
+    scene, cam = sphere_grid_scene(4)
+    mats = scene.materials._replace(
+        reflectivity=jnp.full_like(scene.materials.reflectivity, 0.4))
+    scene = scene._replace(materials=mats)
+    kp, ks = suggest_cull_sizes(scene, cam, H, W, TILE)
+    a = render(scene, cam, H, W, depth=1, engine="xla")
+    b = render(scene, cam, H, W, depth=1, engine="culled",
+               cull=(TILE, kp, ks))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
+
+
+def test_shadow_mask_is_output_identical():
+    """Skipping ambient-only lights' shadow casts must not change the image
+    (their occlusion is multiplied by zero diffuse/specular) — the
+    reference's 'world light' quirk (raytrace_compute.glsl:199-206)."""
+    from openglraytracer_tpu.ops.shading import static_shadow_mask
+    scene, cam = sphere_grid_scene(4)
+    # add an ambient-only world light like the reference's lights[0]
+    lights = scene.lights
+    scene = scene._replace(lights=lights._replace(
+        position=jnp.concatenate(
+            [jnp.asarray([[0.1, 0.1, 0.1]], jnp.float32), lights.position]),
+        ambient=jnp.concatenate(
+            [jnp.asarray([[0.3, 0.3, 0.3, 0.3]], jnp.float32),
+             lights.ambient]),
+        diffuse=jnp.concatenate(
+            [jnp.zeros((1, 4), jnp.float32), lights.diffuse]),
+        specular=jnp.concatenate(
+            [jnp.zeros((1, 4), jnp.float32), lights.specular])))
+    mask = static_shadow_mask(scene)
+    assert mask == (False, True, True)
+    a = render(scene, cam, H, W, engine="xla",
+               shadow_lights=tuple([True] * len(mask)))
+    b = render(scene, cam, H, W, engine="xla", shadow_lights=mask)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_culled_sharded_matches_single_device():
+    """Per-shard culling under shard_map == unsharded culled render."""
+    from openglraytracer_tpu.parallel.mesh import make_mesh
+    from openglraytracer_tpu.parallel.sharded import render_sharded
+    scene, cam = sphere_grid_scene(4)
+    kp, ks = suggest_cull_sizes(scene, cam, H, W, TILE)
+    mesh = make_mesh()
+    a = render(scene, cam, H, W, engine="culled", cull=(TILE, kp, ks))
+    b = render_sharded(scene, cam, H, W, mesh=mesh, engine="culled",
+                       cull=(TILE, kp, ks))
+    # per-shard cones are sub-cones of the global tile cones: conservative
+    # culling means identical discrete results; fp differences only
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
