@@ -100,12 +100,25 @@ def cmd_fit(args):
     from openglraytracer_tpu.train.inverse import FitConfig, fit
     from openglraytracer_tpu.utils.image import save_png
 
+    side = args.grid_side
+    scene_true, cam = sphere_grid_scene(side, seed=1)
+
+    cull = None
+    if args.engine == "culled":
+        from openglraytracer_tpu.ops.accel import suggest_cull_sizes
+        tile = (args.cull_tile, args.cull_tile)
+        # generous headroom: the scene moves during the fit
+        kp, ks = suggest_cull_sizes(scene_true, cam, args.height, args.width,
+                                    tile, headroom=2.0)
+        cull = (tile, kp, ks)
+        print(f"cull: tile={args.cull_tile} kp={kp} ks={ks}")
+
     cfg = FitConfig(height=args.height, width=args.width, depth=args.depth,
                     steps=args.steps, learning_rate=args.lr,
                     checkpoint_dir=args.checkpoint_dir,
-                    trainable=tuple(args.trainable.split(",")))
-    side = args.grid_side
-    scene_true, cam = sphere_grid_scene(side, seed=1)
+                    trainable=tuple(args.trainable.split(",")),
+                    engine=args.engine, cull=cull,
+                    row_block=args.row_block)
     target = render(scene_true, cam, cfg.height, cfg.width, depth=cfg.depth)
 
     # Perturbed init
@@ -180,6 +193,10 @@ def main(argv=None):
     f.add_argument("--trainable",
                    default="spheres.center,spheres.radius,materials.diffuse")
     f.add_argument("--sharded", action="store_true")
+    f.add_argument("--engine", default="auto",
+                   choices=["auto", "xla", "pallas", "culled"])
+    f.add_argument("--cull-tile", type=int, default=32)
+    f.add_argument("--row-block", type=int, default=None)
     f.add_argument("--checkpoint-dir", default=None)
     f.add_argument("--out", default=None)
     f.set_defaults(fn=cmd_fit)

@@ -146,6 +146,40 @@ def compact_mask(mask, k: int):
 # Culled geometry: forward
 # ---------------------------------------------------------------------------
 
+def shadow_cull_mask(scene: Scene, shadow_org, hit_mask, tile_p: int, lpos):
+    """Conservative per-tile occluder mask (T, N) for one light: a cone from
+    the light containing the tile's bounding box of shadow-ray origins, plus
+    a range prune. Empty tiles (no hits) keep nothing."""
+    dtype = shadow_org.dtype
+    t_tiles = shadow_org.shape[0] // tile_p
+    so_t = shadow_org.reshape(t_tiles, tile_p, 3)
+    hit_t = hit_mask.reshape(t_tiles, tile_p)
+    big = jnp.asarray(INF_T, dtype)
+    masked = jnp.where(hit_t[..., None], so_t, big)
+    bmin = jnp.min(masked, axis=1) - _BBOX_MARGIN          # (T, 3)
+    masked = jnp.where(hit_t[..., None], so_t, -big)
+    bmax = jnp.max(masked, axis=1) + _BBOX_MARGIN
+    empty = ~jnp.any(hit_t, axis=1)                        # (T,)
+    # 8 bbox corners (T, 8, 3)
+    sel_corner = jnp.asarray(
+        [[(c >> a) & 1 for a in range(3)] for c in range(8)], dtype)
+    corners = bmin[:, None, :] * (1.0 - sel_corner) \
+        + bmax[:, None, :] * sel_corner
+
+    cvec = corners - lpos                                  # (T, 8, 3)
+    clen = jnp.sqrt(jnp.maximum(jnp.sum(cvec * cvec, -1), _SQRT_EPS))
+    cdir = cvec / clen[..., None]
+    axis_s = jnp.sum(cdir, axis=1)
+    axis_s = axis_s * jax.lax.rsqrt(
+        jnp.maximum(jnp.sum(axis_s * axis_s, -1, keepdims=True), _SQRT_EPS))
+    cos_s = jnp.min(jnp.sum(axis_s[:, None, :] * cdir, -1), axis=1)
+    max_d = jnp.max(clen, axis=1)
+    smask = sphere_vs_cone(lpos, axis_s, jnp.clip(cos_s, -1.0, 1.0),
+                           scene.spheres.center, scene.spheres.radius,
+                           max_dist=max_d)
+    return smask & (~empty)[:, None]
+
+
 class CullAux(NamedTuple):
     """Survivor lists + counts (counts are diagnostics: count > K = overflow)."""
     p_idx: jnp.ndarray      # (T, Kp) primary survivor object ids
@@ -284,18 +318,6 @@ def culled_geometry(scene: Scene, origins, dirs, tile_p: int, kp: int,
     # ---- shadows: per-light cone from the light over the tile's hit bbox
     shadow_org = hit.p + hit.n * SHADOW_EPS
     so_t = shadow_org.reshape(t_tiles, tile_p, 3)
-    hit_t = hit_mask.reshape(t_tiles, tile_p)
-    big = jnp.asarray(INF_T, dtype)
-    masked = jnp.where(hit_t[..., None], so_t, big)
-    bmin = jnp.min(masked, axis=1) - _BBOX_MARGIN          # (T, 3)
-    masked = jnp.where(hit_t[..., None], so_t, -big)
-    bmax = jnp.max(masked, axis=1) + _BBOX_MARGIN
-    empty = ~jnp.any(hit_t, axis=1)                        # (T,)
-    # 8 bbox corners (T, 8, 3)
-    sel_corner = jnp.asarray(
-        [[(c >> a) & 1 for a in range(3)] for c in range(8)], dtype)
-    corners = bmin[:, None, :] * (1.0 - sel_corner) \
-        + bmax[:, None, :] * sel_corner
 
     n_lights = scene.lights.count
     occ_cols = []
@@ -306,18 +328,7 @@ def culled_geometry(scene: Scene, origins, dirs, tile_p: int, kp: int,
             s_counts.append(jnp.zeros((t_tiles,), jnp.int32))
             continue
         lpos = scene.lights.position[li]
-        cvec = corners - lpos                              # (T, 8, 3)
-        clen = jnp.sqrt(jnp.maximum(jnp.sum(cvec * cvec, -1), _SQRT_EPS))
-        cdir = cvec / clen[..., None]
-        axis_s = jnp.sum(cdir, axis=1)
-        axis_s = axis_s * jax.lax.rsqrt(
-            jnp.maximum(jnp.sum(axis_s * axis_s, -1, keepdims=True),
-                        _SQRT_EPS))
-        cos_s = jnp.min(jnp.sum(axis_s[:, None, :] * cdir, -1), axis=1)
-        max_d = jnp.max(clen, axis=1)
-        smask = sphere_vs_cone(lpos, axis_s, jnp.clip(cos_s, -1.0, 1.0),
-                               centers, radii, max_dist=max_d)
-        smask = smask & (~empty)[:, None]
+        smask = shadow_cull_mask(scene, shadow_org, hit_mask, tile_p, lpos)
         s_idx, s_valid, s_count = compact_mask(smask, ks)
         s_counts.append(s_count)
         srows = _gather_tile_rows(
@@ -523,22 +534,51 @@ culled_geometry_op.defvjp(_culled_fwd, _culled_bwd)
 def cull_counts(scene: Scene, camera, height: int, width: int,
                 tile=(32, 32), shadow_lights: tuple | None = None):
     """Per-tile survivor counts (primary (T,), shadow (L, T)) for K sizing.
-    Runs a cheap jitted pass with ks = kp = N (exact superset)."""
+
+    Two cheap jitted passes: (1) primary-cone mask sums (no narrow phase),
+    (2) a narrow-phase pass at the just-measured kp — shadows disabled — to
+    get hit positions, from which the per-light shadow-cone mask sums follow.
+    Memory stays O(tiles x N) bools; never materializes (T*N)-row gathers.
+    """
     from openglraytracer_tpu.ops.raygen import generate_rays
 
     th, tw = tile
     origins, dirs = generate_rays(camera, height, width)
     o = tile_image(origins, th, tw).reshape(-1, 3)
     d = tile_image(dirs, th, tw).reshape(-1, 3)
+    tile_p = th * tw
     n = max(int(scene.spheres.count), 1)
+    n_lights = scene.lights.count
 
-    @functools.partial(jax.jit, static_argnums=())
-    def run(scene, o, d):
-        _, _, aux = culled_geometry(scene, o, d, th * tw, n, n,
-                                    shadow_lights)
-        return aux.p_count, aux.s_count
+    @jax.jit
+    def primary_counts(scene, o, d):
+        dirs_t = d.reshape(-1, tile_p, 3)
+        axis, cos_half = tile_cones(dirs_t)
+        mask = sphere_vs_cone(o[0], axis, cos_half, scene.spheres.center,
+                              scene.spheres.radius)
+        return jnp.sum(mask, axis=-1, dtype=jnp.int32)
 
-    return run(scene, o, d)
+    p_count = primary_counts(scene, o, d)
+    kp0 = min(n, max(8, int(jnp.max(p_count))))
+
+    no_shadows = tuple([False] * n_lights)
+
+    @jax.jit
+    def shadow_counts(scene, o, d):
+        hit, _, _ = culled_geometry(scene, o, d, tile_p, kp0, 8, no_shadows)
+        shadow_org = hit.p + hit.n * SHADOW_EPS
+        cols = []
+        for li in range(n_lights):
+            if shadow_lights is not None and not shadow_lights[li]:
+                cols.append(jnp.zeros(p_count.shape, jnp.int32))
+                continue
+            smask = shadow_cull_mask(scene, shadow_org, hit.hit, tile_p,
+                                     scene.lights.position[li])
+            cols.append(jnp.sum(smask, axis=-1, dtype=jnp.int32))
+        return (jnp.stack(cols) if cols
+                else jnp.zeros((0,) + p_count.shape, jnp.int32))
+
+    return p_count, shadow_counts(scene, o, d)
 
 
 def suggest_cull_sizes(scene: Scene, camera, height: int, width: int,
