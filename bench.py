@@ -34,7 +34,7 @@ def main():
     from openglraytracer_tpu.models.builders import sphere_grid_scene
     from openglraytracer_tpu.train.inverse import (
         DEFAULT_TRAINABLE, apply_params, extract_params)
-    from openglraytracer_tpu.ops.accel import suggest_cull_sizes, tile_image
+    from openglraytracer_tpu.ops.accel import suggest_cull_config, tile_image
     from openglraytracer_tpu.ops.raygen import generate_rays
     from openglraytracer_tpu.ops.render import trace_rays_fast
     from openglraytracer_tpu.ops.shading import static_shadow_mask
@@ -49,9 +49,9 @@ def main():
     # lights (output-identical).
     tile = (64, 64)
     shadow_mask = static_shadow_mask(scene)
-    kp, ks = suggest_cull_sizes(scene, cam, height, width, tile,
-                                shadow_lights=shadow_mask)
-    cull = (tile[0] * tile[1], kp, ks)
+    _, kp, ks, hot_m = suggest_cull_config(scene, cam, height, width, tile,
+                                           shadow_lights=shadow_mask)
+    cull = (tile[0] * tile[1], kp, ks, hot_m)
 
     origins, dirs = generate_rays(cam, height, width)
     o = tile_image(origins, *tile).reshape(-1, 3)

@@ -61,11 +61,11 @@ def cmd_render(args):
     kwargs = dict(depth=depth, engine=args.engine,
                   chunk_size=args.chunk_size)
     if args.engine == "culled":
-        from openglraytracer_tpu.ops.accel import suggest_cull_sizes
+        from openglraytracer_tpu.ops.accel import suggest_cull_config
         tile = (args.cull_tile, args.cull_tile)
-        kp, ks = suggest_cull_sizes(scene, cam, h, w, tile)
-        kwargs["cull"] = (tile, kp, ks)
-        print(f"cull: tile={args.cull_tile} kp={kp} ks={ks}")
+        _, kp, ks, hot_m = suggest_cull_config(scene, cam, h, w, tile)
+        kwargs["cull"] = (tile, kp, ks, hot_m)
+        print(f"cull: tile={args.cull_tile} kp={kp} ks={ks} hot_m={hot_m}")
     img = render(scene, cam, h, w, **kwargs)
     if args.time:
         dt = time_fn(lambda: render(scene, cam, h, w, **kwargs))
@@ -105,13 +105,12 @@ def cmd_fit(args):
 
     cull = None
     if args.engine == "culled":
-        from openglraytracer_tpu.ops.accel import suggest_cull_sizes
+        from openglraytracer_tpu.ops.accel import suggest_cull_config
         tile = (args.cull_tile, args.cull_tile)
         # generous headroom: the scene moves during the fit
-        kp, ks = suggest_cull_sizes(scene_true, cam, args.height, args.width,
-                                    tile, headroom=2.0)
-        cull = (tile, kp, ks)
-        print(f"cull: tile={args.cull_tile} kp={kp} ks={ks}")
+        cull = suggest_cull_config(scene_true, cam, args.height, args.width,
+                                   tile, headroom=2.0)
+        print(f"cull: {cull}")
 
     cfg = FitConfig(height=args.height, width=args.width, depth=args.depth,
                     steps=args.steps, learning_rate=args.lr,

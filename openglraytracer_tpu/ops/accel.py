@@ -180,12 +180,43 @@ def shadow_cull_mask(scene: Scene, shadow_org, hit_mask, tile_p: int, lpos):
     return smask & (~empty)[:, None]
 
 
+def _segment_occluded(so_t, p_t, lpos, scx, scy, scz, sr, valid):
+    """Sqrt-free shadow-segment occlusion (see intersect.sphere_blocked) for
+    batched tiles. so_t, p_t: (B, P, 3) cast origins / hit points; sphere
+    params (B, K) or (1, K); valid (B, K) or (1, K). Returns (B, P) bool.
+
+    The segment is light - p (reference :809) while the cast origin is the
+    offset so_t — matching the exact path's semantics exactly. Candidates
+    are laid out (B, K, P) with pixels on the lane axis (see the narrow-
+    phase layout note in culled_geometry)."""
+    tlx = (lpos[0] - p_t[..., 0])[:, None, :]              # (B, 1, P)
+    tly = (lpos[1] - p_t[..., 1])[:, None, :]
+    tlz = (lpos[2] - p_t[..., 2])[:, None, :]
+    qa = tlx * tlx + tly * tly + tlz * tlz                 # (B, 1, P)
+    socx = so_t[..., 0][:, None, :] - scx[:, :, None]      # (B, K, P)
+    socy = so_t[..., 1][:, None, :] - scy[:, :, None]
+    socz = so_t[..., 2][:, None, :] - scz[:, :, None]
+    qb = 2.0 * (tlx * socx + tly * socy + tlz * socz)
+    qcs = socx * socx + socy * socy + socz * socz \
+        - (sr * sr)[:, :, None]
+    f_end = qa + qb + qcs
+    inside_src = qcs < 0.0
+    blocked_in = inside_src & (f_end > 0.0)
+    disc_ok = qb * qb >= 4.0 * qa * qcs
+    vertex_in = (qb < 0.0) & (-qb < 2.0 * qa)
+    blocked = jnp.where(inside_src, blocked_in,
+                        (f_end < 0.0) | (disc_ok & vertex_in))
+    blocked = blocked & (qa > _DIV_EPS) & valid[:, :, None]
+    return jnp.any(blocked, axis=1)
+
+
 class CullAux(NamedTuple):
     """Survivor lists + counts (counts are diagnostics: count > K = overflow)."""
     p_idx: jnp.ndarray      # (T, Kp) primary survivor object ids
     p_valid: jnp.ndarray    # (T, Kp)
     p_count: jnp.ndarray    # (T,)
     s_count: jnp.ndarray    # (L, T)
+    s_overflow: jnp.ndarray  # (L,) cold tiles whose occluders exceeded Ks
     j_local: jnp.ndarray    # (T, P) winning survivor slot (-1 = miss/plane)
 
 
@@ -207,14 +238,18 @@ def _gather_tile_rows(table, idx):
 
 
 def culled_geometry(scene: Scene, origins, dirs, tile_p: int, kp: int,
-                    ks: int, shadow_lights: tuple | None = None):
+                    ks: int, shadow_lights: tuple | None = None,
+                    hot_m: int = 0):
     """Closest hit + all-light occlusion with tile-cone culling.
 
     origins, dirs: (R, 3) in TILE-MAJOR order (tile_image), R = T * tile_p;
     every origin must be the same point (primary pinhole rays). dirs unit.
     shadow_lights: static per-light bools — False skips that light's shadow
-    pass (shading.static_shadow_mask). Returns (Hit (R,), occluded (R, L),
-    CullAux).
+    pass (shading.static_shadow_mask). hot_m > 0 gives the top-M
+    highest-count tiles per light a dense all-spheres shadow pass so ks can
+    be sized by a quantile of the counts instead of the max (long shadows
+    make a few tiles legitimately see most of the scene). Returns
+    (Hit (R,), occluded (R, L), CullAux).
     """
     assert scene.boxes.count == 0, "culled engine: sphere/plane scenes only"
     r_total = origins.shape[0]
@@ -235,24 +270,27 @@ def culled_geometry(scene: Scene, origins, dirs, tile_p: int, kp: int,
     cx, cy, cz = rows[..., 0], rows[..., 1], rows[..., 2]   # (T, Kp)
     rad = rows[..., 3]
 
-    # ---- narrow phase per (tile, pixel, survivor). The arithmetic mirrors
+    # ---- narrow phase per (tile, survivor, pixel). The arithmetic mirrors
     # intersect.sphere_candidates OPERATION FOR OPERATION so candidate t's
     # are bit-identical to the exact path's — a reformulation (e.g. qa = 1
     # for unit dirs) rounds differently and flips disc's sign on tangent
     # grazes, visibly changing ~1e-4 of pixels vs the exact engine.
-    ocx = o0[0] - cx                                        # (T, Kp): o - c
-    ocy = o0[1] - cy
-    ocz = o0[2] - cz
+    #
+    # LAYOUT: candidates are (T, Kp, P) with PIXELS on the minor (lane) axis.
+    # (T, P, Kp) would put Kp on the lanes, which the TPU pads to 128 — a
+    # Kp=24 scan would compute 5x dummy lanes. P is always lane-aligned.
+    ocx = (o0[0] - cx)[:, :, None]                          # (T, Kp, 1): o-c
+    ocy = (o0[1] - cy)[:, :, None]
+    ocz = (o0[2] - cz)[:, :, None]
     qc = (ocx * ocx + ocy * ocy + ocz * ocz
-          - rad * rad)[:, None, :]                          # (T, 1, Kp)
-    dx = dirs_t[..., 0:1]                                   # (T, P, 1)
-    dy = dirs_t[..., 1:2]
-    dz = dirs_t[..., 2:3]
-    qa = dx * dx + dy * dy + dz * dz                        # (T, P, 1)
-    qb = 2.0 * (dx * ocx[:, None, :] + dy * ocy[:, None, :]
-                + dz * ocz[:, None, :])                     # (T, P, Kp)
+          - (rad * rad)[:, :, None])                        # (T, Kp, 1)
+    dx = dirs_t[..., 0][:, None, :]                         # (T, 1, P)
+    dy = dirs_t[..., 1][:, None, :]
+    dz = dirs_t[..., 2][:, None, :]
+    qa = dx * dx + dy * dy + dz * dz                        # (T, 1, P)
+    qb = 2.0 * (dx * ocx + dy * ocy + dz * ocz)             # (T, Kp, P)
     qd = qb * qb - 4.0 * qa * qc
-    ok = (qd >= 0.0) & (qa > _DIV_EPS) & p_valid[:, None, :]
+    ok = (qd >= 0.0) & (qa > _DIV_EPS) & p_valid[:, :, None]
     sq = jnp.where(ok, jnp.sqrt(jnp.maximum(qd, _SQRT_EPS)), 0.0)
     inv_2qa = _safe_div(jnp.asarray(0.5, dtype), qa)
     t1 = (-qb + sq) * inv_2qa
@@ -266,28 +304,29 @@ def culled_geometry(scene: Scene, origins, dirs, tile_p: int, kp: int,
     t = jnp.where(ok, t, INF_T)
 
     # ---- fold winner: min-t + first-survivor tie (ascending object order)
-    tc = jnp.min(t, axis=-1)                                # (T, P)
-    iota = jnp.arange(kp_eff, dtype=jnp.int32)[None, None, :]
-    j = jnp.min(jnp.where(t == tc[..., None], iota, kp_eff), axis=-1)
-    sel = iota == j[..., None]                              # (T, P, Kp)
+    tc = jnp.min(t, axis=1)                                 # (T, P)
+    iota = jnp.arange(kp_eff, dtype=jnp.int32)[None, :, None]
+    j = jnp.min(jnp.where(t == tc[:, None, :], iota, kp_eff), axis=1)
+    sel = iota == j[:, None, :]                             # (T, Kp, P)
     # one batched MXU contraction folds center/radius/mat/gid of the winner
-    win = jnp.einsum("tpk,tkf->tpf", sel.astype(dtype), rows,
-                     precision=jax.lax.Precision.HIGHEST)   # (T, P, 6)
-    ic = jnp.any(sel & inside, axis=-1)
+    win = jnp.einsum("tkp,tkf->tfp", sel.astype(dtype), rows,
+                     precision=jax.lax.Precision.HIGHEST)   # (T, 6, P)
+    ic = jnp.any(sel & inside, axis=1)
 
     hit_s = tc < MISS_T
     t_flat = tc.reshape(-1)
     in_flat = ic.reshape(-1)
-    mat_flat = win[..., 4].reshape(-1).astype(jnp.int32)
-    gid_flat = win[..., 5].reshape(-1).astype(jnp.int32)
-    c_flat = win[..., 0:3].reshape(-1, 3)
+    mat_flat = win[:, 4, :].reshape(-1).astype(jnp.int32)
+    gid_flat = win[:, 5, :].reshape(-1).astype(jnp.int32)
     j_local = jnp.where(hit_s, j, -1)
 
     # finalize sphere normal from the winning center (see closest_hit_sp)
     hs_flat = hit_s.reshape(-1)
     ts = jnp.where(hs_flat, t_flat, 0.0)
     p = origins + ts[:, None] * dirs
-    u = p - c_flat
+    u = p - jnp.stack([win[:, 0, :].reshape(-1),
+                       win[:, 1, :].reshape(-1),
+                       win[:, 2, :].reshape(-1)], axis=-1)
     inv_len = jax.lax.rsqrt(jnp.maximum(jnp.sum(u * u, -1), _SQRT_EPS))
     sgn = jnp.where(in_flat, -inv_len, inv_len) * hs_flat.astype(dtype)
     n = u * sgn[:, None]
@@ -318,14 +357,17 @@ def culled_geometry(scene: Scene, origins, dirs, tile_p: int, kp: int,
     # ---- shadows: per-light cone from the light over the tile's hit bbox
     shadow_org = hit.p + hit.n * SHADOW_EPS
     so_t = shadow_org.reshape(t_tiles, tile_p, 3)
+    p_t = hit.p.reshape(t_tiles, tile_p, 3)
 
     n_lights = scene.lights.count
     occ_cols = []
     s_counts = []
+    s_overflow = []
     for li in range(n_lights):
         if shadow_lights is not None and not shadow_lights[li]:
             occ_cols.append(jnp.zeros((r_total,), bool))
             s_counts.append(jnp.zeros((t_tiles,), jnp.int32))
+            s_overflow.append(jnp.zeros((), jnp.int32))
             continue
         lpos = scene.lights.position[li]
         smask = shadow_cull_mask(scene, shadow_org, hit_mask, tile_p, lpos)
@@ -333,32 +375,33 @@ def culled_geometry(scene: Scene, origins, dirs, tile_p: int, kp: int,
         s_counts.append(s_count)
         srows = _gather_tile_rows(
             jnp.concatenate([centers, radii[:, None]], -1), s_idx)
-        scx, scy, scz, sr = (srows[..., 0], srows[..., 1], srows[..., 2],
-                             srows[..., 3])                # (T, Ks)
+        occ_t = _segment_occluded(so_t, p_t, lpos,
+                                  srows[..., 0], srows[..., 1],
+                                  srows[..., 2], srows[..., 3],
+                                  s_valid)                   # (T, P)
 
-        # unnormalized segment light - p (:809): from the HIT POINT, while
-        # the cast origin is the offset so_t — matching the exact path
-        tl = lpos[None, None, :] - hit.p.reshape(t_tiles, tile_p, 3)
-        qa = jnp.sum(tl * tl, axis=-1)                     # (T, P)
-        # sqrt-free segment-occlusion predicate (see sphere_blocked)
-        socx = so_t[..., 0:1] - scx[:, None, :]            # (T, P, Ks)
-        socy = so_t[..., 1:2] - scy[:, None, :]
-        socz = so_t[..., 2:3] - scz[:, None, :]
-        qb = 2.0 * (tl[..., 0:1] * socx + tl[..., 1:2] * socy
-                    + tl[..., 2:3] * socz)
-        qcs = socx * socx + socy * socy + socz * socz \
-            - (sr * sr)[:, None, :]
-        qa_b = qa[..., None]
-        f_end = qa_b + qb + qcs
-        inside_src = qcs < 0.0
-        blocked_in = inside_src & (f_end > 0.0)
-        disc_ok = qb * qb >= 4.0 * qa_b * qcs
-        vertex_in = (qb < 0.0) & (-qb < 2.0 * qa_b)
-        blocked = jnp.where(inside_src, blocked_in,
-                            (f_end < 0.0) | (disc_ok & vertex_in))
-        blocked = blocked & (qa_b > _DIV_EPS) & s_valid[:, None, :]
-        occ = jnp.any(blocked, axis=-1).reshape(-1)        # (R,)
+        if hot_m > 0:
+            # hot-tile pass: the top-M tiles by potential-occluder count get
+            # a dense all-spheres test, so the static Ks only has to cover
+            # the OTHER tiles — sized by a quantile instead of the max.
+            _, hot_ids = jax.lax.top_k(s_count, hot_m)
+            occ_h = _segment_occluded(
+                jnp.take(so_t, hot_ids, axis=0),
+                jnp.take(p_t, hot_ids, axis=0), lpos,
+                centers[None, :, 0], centers[None, :, 1],
+                centers[None, :, 2], radii[None, :],
+                jnp.ones((1, n_sph), bool))                  # (M, P)
+            is_hot = jnp.zeros((t_tiles,), bool).at[hot_ids].set(True)
+            occ_full = jnp.zeros((t_tiles, tile_p), bool) \
+                .at[hot_ids].set(occ_h)
+            occ_t = jnp.where(is_hot[:, None], occ_full, occ_t)
+            # cold tiles above Ks = dropped occluders: report, never silent
+            s_overflow.append(jnp.sum((s_count > ks) & ~is_hot,
+                                      dtype=jnp.int32))
+        else:
+            s_overflow.append(jnp.sum(s_count > ks, dtype=jnp.int32))
 
+        occ = occ_t.reshape(-1)                              # (R,)
         if pln.count:
             tpl, _, _ = plane_candidates(shadow_org,
                                          lpos[None, :] - hit.p,
@@ -373,6 +416,8 @@ def culled_geometry(scene: Scene, origins, dirs, tile_p: int, kp: int,
     aux = CullAux(p_idx=p_idx, p_valid=p_valid, p_count=p_count,
                   s_count=jnp.stack(s_counts) if n_lights else
                   jnp.zeros((0, t_tiles), jnp.int32),
+                  s_overflow=jnp.stack(s_overflow) if n_lights else
+                  jnp.zeros((0,), jnp.int32),
                   j_local=j_local)
     return hit, occluded, aux
 
@@ -419,21 +464,22 @@ def culled_material_rows(scene: Scene, hit: Hit, aux: CullAux, tile_p: int):
 # Custom VJP: tile-structured analytic backward
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def culled_geometry_op(scene: Scene, origins, dirs, tile_p: int, kp: int,
-                       ks: int, shadow_lights: tuple | None = None):
+                       ks: int, shadow_lights: tuple | None = None,
+                       hot_m: int = 0):
     hit, occ, aux = culled_geometry(scene, origins, dirs, tile_p, kp, ks,
-                                    shadow_lights)
+                                    shadow_lights, hot_m)
     return hit, occ, aux
 
 
-def _culled_fwd(scene, origins, dirs, tile_p, kp, ks, shadow_lights):
+def _culled_fwd(scene, origins, dirs, tile_p, kp, ks, shadow_lights, hot_m):
     hit, occ, aux = culled_geometry(scene, origins, dirs, tile_p, kp, ks,
-                                    shadow_lights)
+                                    shadow_lights, hot_m)
     return (hit, occ, aux), (scene, origins, dirs, hit, aux)
 
 
-def _culled_bwd(tile_p, kp, ks, shadow_lights, res, g):
+def _culled_bwd(tile_p, kp, ks, shadow_lights, hot_m, res, g):
     """Analytic winner-only backward (see ops/geometry.py) with the gather
     and scatter routed through the (tiles, K) survivor lists: O(R*K + T*K*N)
     one-hot contractions instead of O(R)-row global gathers/scatters."""
@@ -603,3 +649,43 @@ def suggest_cull_sizes(scene: Scene, camera, height: int, width: int,
 
     ks = size(s_count) if s_count.size else min_k
     return size(p_count), ks
+
+
+def suggest_cull_config(scene: Scene, camera, height: int, width: int,
+                        tile=(32, 32), headroom: float = 1.5,
+                        min_k: int = 8,
+                        shadow_lights: tuple | None = None):
+    """Full cull spec ((th, tw), kp, ks, hot_m) with the hot-tile shadow
+    strategy: sweep M over a small grid and pick the (ks(M), M) minimizing
+    the modeled narrow-phase cost T*ks + M*N per light — ks(M) is the
+    (M+1)-th largest per-tile occluder count, i.e. the max over the COLD
+    tiles, so cold tiles never drop occluders at suggestion time."""
+    if shadow_lights is None:
+        from openglraytracer_tpu.ops.shading import static_shadow_mask
+        shadow_lights = static_shadow_mask(scene)
+    p_count, s_count = cull_counts(scene, camera, height, width, tile,
+                                   shadow_lights)
+    n = int(scene.spheres.count)
+
+    def rounded(k):
+        return max(min_k, min(n, -(-int(np.ceil(k * headroom)) // 8) * 8))
+
+    kp = rounded(int(jnp.max(p_count)))
+    if not s_count.size:
+        return tile, kp, min_k, 0
+
+    counts = np.sort(np.asarray(s_count), axis=-1)[:, ::-1]  # (L, T) desc
+    t_tiles = counts.shape[-1]
+    best = None
+    for m in [0] + [max(1, t_tiles // f) for f in (64, 32, 16, 8)]:
+        ks_m = int(counts[:, min(m, t_tiles - 1)].max()) if m < t_tiles \
+            else 0
+        ks_m = rounded(ks_m)
+        # measured on v5e: narrow-phase time is flat below K ~ 64 (lane/VMEM
+        # granularity floors), so reductions below that never pay for the
+        # hot pass's fixed costs — model the floor directly
+        cost = t_tiles * max(ks_m, 64) + m * n
+        if best is None or cost < best[0]:
+            best = (cost, ks_m, m)
+    _, ks, hot_m = best
+    return tile, kp, ks, hot_m

@@ -119,10 +119,13 @@ def trace_rays_fast(scene: Scene, origins, dirs, depth: int = 0,
     if engine == "culled":
         from openglraytracer_tpu.ops.accel import (culled_geometry_op,
                                                    culled_material_rows)
-        assert cull is not None, "engine='culled' needs cull=(tile_p, kp, ks)"
-        tile_p, kp, ks = cull
+        assert cull is not None, \
+            "engine='culled' needs cull=(tile_p, kp, ks[, hot_m])"
+        tile_p, kp, ks = cull[:3]
+        hot_m = cull[3] if len(cull) > 3 else 0
         hit, occ, aux = culled_geometry_op(scene, origins, dirs,
-                                           tile_p, kp, ks, shadow_lights)
+                                           tile_p, kp, ks, shadow_lights,
+                                           hot_m)
         mat_rows = culled_material_rows(scene, hit, aux, tile_p)
         child_engine = "xla"
     else:
@@ -237,12 +240,14 @@ def _render_jit(scene: Scene, camera: Camera, height: int, width: int,
     if engine == "culled":
         from openglraytracer_tpu.ops.accel import tile_image, untile_image
         assert cull is not None, \
-            "engine='culled' needs cull=((th, tw), kp, ks)"
-        (th, tw), kp, ks = cull
+            "engine='culled' needs cull=((th, tw), kp, ks[, hot_m])"
+        (th, tw), kp, ks = cull[:3]
+        hot_m = cull[3] if len(cull) > 3 else 0
         o = tile_image(origins, th, tw).reshape(-1, 3)
         d = tile_image(dirs, th, tw).reshape(-1, 3)
         colors = trace_rays_fast(scene, o, d, depth, chunk_size=chunk_size,
-                                 engine="culled", cull=(th * tw, kp, ks),
+                                 engine="culled",
+                                 cull=(th * tw, kp, ks, hot_m),
                                  shadow_lights=shadow_lights)
         return untile_image(colors, height, width, th, tw)
 

@@ -187,3 +187,18 @@ def test_culled_sharded_matches_single_device():
     # per-shard cones are sub-cones of the global tile cones: conservative
     # culling means identical discrete results; fp differences only
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
+
+
+def test_hot_tile_shadows_match_exact():
+    """hot_m > 0 (dense shadow pass for the top-M tiles, quantile-sized Ks
+    for the rest) must still reproduce the exact occlusion bit-for-bit."""
+    from openglraytracer_tpu.ops.accel import suggest_cull_config
+    scene, cam = sphere_grid_scene(8)
+    (t_, kp, ks, hot_m) = suggest_cull_config(scene, cam, H, W, TILE)
+    o, d = _tiled_rays(cam)
+    hit_c, occ_c, aux = culled_geometry(scene, o, d, TILE[0] * TILE[1],
+                                        kp, ks, None, max(hot_m, 4))
+    hit_x, occ_x = geometry_op(scene, o, d, "xla", 512)
+    np.testing.assert_array_equal(np.asarray(occ_c), np.asarray(occ_x))
+    np.testing.assert_array_equal(np.asarray(hit_c.t), np.asarray(hit_x.t))
+    assert int(jnp.max(aux.s_overflow)) == 0
