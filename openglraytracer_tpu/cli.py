@@ -62,6 +62,12 @@ def cmd_render(args):
                   chunk_size=args.chunk_size)
     if args.engine == "culled":
         from openglraytracer_tpu.ops.accel import suggest_cull_config
+        t = args.cull_tile
+        if h % t or w % t:
+            raise SystemExit(
+                f"--cull-tile {t} must divide the image: {w}x{h} "
+                f"(--width/--height); pick a dividing tile or resolution "
+                f"(e.g. --height {h - h % t or t})")
         tile = (args.cull_tile, args.cull_tile)
         _, kp, ks, hot_m = suggest_cull_config(scene, cam, h, w, tile)
         kwargs["cull"] = (tile, kp, ks, hot_m)

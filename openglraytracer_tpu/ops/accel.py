@@ -651,6 +651,36 @@ def suggest_cull_sizes(scene: Scene, camera, height: int, width: int,
     return size(p_count), ks
 
 
+def check_cull_overflow(scene: Scene, camera, height: int, width: int,
+                        cull, shadow_lights: tuple | None = None):
+    """Recount survivors for the CURRENT scene against a fixed cull spec
+    ``((th, tw), kp, ks[, hot_m])`` and report dropped-object risk.
+
+    Returns None when the spec still covers every tile, else a dict with the
+    observed maxima and a re-suggested (kp, ks). Used by the fit loop: a
+    moving scene can outgrow the once-computed K — accel.py's contract is
+    that overflow is never silent (ADVICE r1 #3)."""
+    (th, tw), kp, ks = cull[:3]
+    hot_m = cull[3] if len(cull) > 3 else 0
+    p_count, s_count = cull_counts(scene, camera, height, width, (th, tw),
+                                   shadow_lights)
+    max_p = int(jnp.max(p_count))
+    if s_count.size:
+        counts = np.sort(np.asarray(s_count), axis=-1)[:, ::-1]  # (L,T) desc
+        # hot tiles get the dense pass — only the (hot_m+1)-th largest count
+        # onward must fit in ks
+        cold_max = int(counts[:, min(hot_m, counts.shape[-1] - 1)].max()) \
+            if hot_m < counts.shape[-1] else 0
+    else:
+        cold_max = 0
+    if max_p <= kp and cold_max <= ks:
+        return None
+    return {"max_primary": max_p, "kp": kp,
+            "max_shadow_cold": cold_max, "ks": ks,
+            "suggest_kp": max(kp, -(-max_p // 8) * 8),
+            "suggest_ks": max(ks, -(-cold_max // 8) * 8)}
+
+
 def suggest_cull_config(scene: Scene, camera, height: int, width: int,
                         tile=(32, 32), headroom: float = 1.5,
                         min_k: int = 8,

@@ -241,6 +241,10 @@ def _render_jit(scene: Scene, camera: Camera, height: int, width: int,
         from openglraytracer_tpu.ops.accel import tile_image, untile_image
         assert cull is not None, \
             "engine='culled' needs cull=((th, tw), kp, ks[, hot_m])"
+        assert row_block is None, \
+            "row_block is not supported with engine='culled' (the culled " \
+            "path is already tile-blocked); drop --row-block or use " \
+            "engine='xla'"
         (th, tw), kp, ks = cull[:3]
         hot_m = cull[3] if len(cull) > 3 else 0
         o = tile_image(origins, th, tw).reshape(-1, 3)

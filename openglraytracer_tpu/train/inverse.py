@@ -127,7 +127,7 @@ def fit(scene_init: Scene, target, camera: Camera, cfg: FitConfig,
         mesh=None, callback: Callable[[int, float], None] | None = None):
     """Run the optimization loop. Returns (fitted_scene, losses)."""
     from openglraytracer_tpu.utils import checkpoint as ckpt_util
-    from openglraytracer_tpu.utils.metrics import MetricsLogger
+    from openglraytracer_tpu.utils.metrics import MetricsLogger, rays_per_frame
 
     init_fn, step_fn = make_train_step(camera, cfg, mesh=mesh)
     params, opt_state = init_fn(scene_init)
@@ -142,15 +142,37 @@ def fit(scene_init: Scene, target, camera: Camera, cfg: FitConfig,
 
     logger = MetricsLogger("fit")
     losses = []
+    import time as _time
+    t_last = _time.perf_counter()
+    rays_logged = 0
     for step in range(start, cfg.steps):
         params, opt_state, loss = step_fn(params, opt_state, scene_init,
                                           target)
+        rays_logged += rays_per_frame(cfg.height, cfg.width,
+                                      scene_init.lights.count, cfg.depth)
         if step % cfg.log_every == 0 or step == cfg.steps - 1:
-            lv = float(loss)
+            lv = float(loss)          # blocks: the window below is synced
+            now = _time.perf_counter()
+            mrays = rays_logged / max(now - t_last, 1e-9) / 1e6
+            t_last, rays_logged = now, 0
             losses.append((step, lv))
-            logger.log(step=step, loss=lv)
+            logger.log(step=step, loss=lv, mrays_per_s=round(mrays, 2))
             if callback is not None:
                 callback(step, lv)
+            if cfg.engine == "culled" and cfg.cull is not None:
+                # the moving scene can outgrow the fixed K: never silent
+                from openglraytracer_tpu.ops.accel import check_cull_overflow
+                ovf = check_cull_overflow(apply_params(scene_init, params),
+                                          camera, cfg.height, cfg.width,
+                                          cfg.cull)
+                if ovf is not None:
+                    logger.log(step=step, cull_overflow=ovf)
+                    import logging
+                    logging.getLogger(__name__).warning(
+                        "culled fit: survivor counts exceed K at step %d "
+                        "(objects may be dropped): %s — restart with "
+                        "kp>=%d ks>=%d", step, ovf, ovf["suggest_kp"],
+                        ovf["suggest_ks"])
         if cfg.checkpoint_dir and cfg.checkpoint_every and \
                 (step + 1) % cfg.checkpoint_every == 0:
             ckpt_util.save(cfg.checkpoint_dir, (params, opt_state, step + 1),

@@ -48,9 +48,19 @@ def time_fn(fn, *args, warmup: int = 2, iters: int = 5):
     return times[len(times) // 2]
 
 
-def rays_per_frame(height: int, width: int, n_lights: int, depth: int = 0):
-    """Primary + shadow ray count per frame at the given depth, counting the
-    full bounce tree like the reference's cast accounting (BASELINE.md):
-    each traced ray costs 1 primary cast + n_lights shadow casts."""
-    casts_per_pixel = (2 ** (depth + 1) - 1) if depth > 0 else 1
-    return height * width * casts_per_pixel * (1 + n_lights)
+def rays_per_frame(height: int, width: int, n_lights: int, depth: int = 0,
+                   mirror_only: bool = False,
+                   shadow_lights: tuple | None = None):
+    """Primary + shadow ray count per frame, matching what the renderer
+    actually casts (BASELINE.md's accounting for the reference):
+
+      * full reflection+refraction tree: 2^(depth+1) - 1 casts per pixel
+      * mirror_only (trace_rays_mirror / stack-free chain): depth + 1 casts
+      * each cast spawns one shadow segment per SHADOW-CASTING light —
+        lights statically elided by shading.static_shadow_mask
+        (``shadow_lights[i] is False``) never cast and are not charged.
+    """
+    casts = (depth + 1) if mirror_only else (2 ** (depth + 1) - 1)
+    casting = (sum(map(bool, shadow_lights)) if shadow_lights is not None
+               else n_lights)
+    return height * width * casts * (1 + casting)

@@ -89,7 +89,13 @@ def test_culled_matches_exact_discrete_and_image():
                                   np.asarray(hit_x.obj_id))
     np.testing.assert_array_equal(np.asarray(hit_c.hit),
                                   np.asarray(hit_x.hit))
-    np.testing.assert_array_equal(np.asarray(occ_c), np.asarray(occ_x))
+    # occlusion is only a contract where the primary ray HIT: missed rays'
+    # shadow origins sit at the camera, outside the tile's hit-bbox cone, so
+    # the culled path may legitimately differ there (color is gated by
+    # hit.hit either way)
+    hm = np.asarray(hit_x.hit)[:, None]
+    np.testing.assert_array_equal(np.asarray(occ_c) & hm,
+                                  np.asarray(occ_x) & hm)
     # no overflow at suggested sizes
     assert int(jnp.max(aux.p_count)) <= kp
     # the culled narrow phase mirrors sphere_candidates op-for-op, so hit
@@ -199,6 +205,12 @@ def test_hot_tile_shadows_match_exact():
     hit_c, occ_c, aux = culled_geometry(scene, o, d, TILE[0] * TILE[1],
                                         kp, ks, None, max(hot_m, 4))
     hit_x, occ_x = geometry_op(scene, o, d, "xla", 512)
-    np.testing.assert_array_equal(np.asarray(occ_c), np.asarray(occ_x))
+    # occlusion is only a contract where the primary ray HIT: missed rays'
+    # shadow origins sit at the camera, outside the tile's hit-bbox cone, so
+    # the culled path may legitimately differ there (color is gated by
+    # hit.hit either way)
+    hm = np.asarray(hit_x.hit)[:, None]
+    np.testing.assert_array_equal(np.asarray(occ_c) & hm,
+                                  np.asarray(occ_x) & hm)
     np.testing.assert_array_equal(np.asarray(hit_c.t), np.asarray(hit_x.t))
     assert int(jnp.max(aux.s_overflow)) == 0
