@@ -39,24 +39,46 @@ def cmd_configs(args):
         print(f"{name:20s} {w}x{h} depth={depth}")
 
 
-def cmd_render(args):
-    import jax
-    from openglraytracer_tpu.models.scene import load_scene, make_camera
-    from openglraytracer_tpu.ops.render import render
-    from openglraytracer_tpu.utils.image import save_png
-    from openglraytracer_tpu.utils.metrics import MetricsLogger, time_fn
+def _profiled(profile_dir):
+    """Context manager: a jax.profiler trace when --profile-dir is set."""
+    import contextlib
+    if not profile_dir:
+        return contextlib.nullcontext()
+    from openglraytracer_tpu.utils.profiling import trace
+    print(f"profiling to {profile_dir} (view with XProf/TensorBoard)")
+    return trace(profile_dir)
 
+
+def _resolve_scene(args):
+    """(scene, cam, h, w, depth) from a builtin name or scene JSON.
+
+    JSON scenes carry their own camera when saved with one (scene+camera are
+    one unit, like the reference's in-shader scene); explicit --camera-pos /
+    --camera-angles flags override it."""
+    from openglraytracer_tpu.models.scene import load_scene_camera, make_camera
     if args.scene.endswith(".json"):
-        scene = load_scene(args.scene)
+        scene, cam = load_scene_camera(args.scene)
         h = args.height or 720
         w = args.width or 1280
         depth = args.depth if args.depth is not None else 0
-        cam = make_camera(tuple(args.camera_pos), tuple(args.camera_angles),
-                          aspect=w / h)
+        if cam is None or args.camera_pos or args.camera_angles:
+            cam = make_camera(tuple(args.camera_pos or (0.0, -10.0, 4.0)),
+                              tuple(args.camera_angles or (-15.0, 0.0, 0.0)),
+                              aspect=w / h)
     else:
         scene, cam, h, w, depth = _builtin(args.scene)
         h, w = args.height or h, args.width or w
         depth = args.depth if args.depth is not None else depth
+    return scene, cam, h, w, depth
+
+
+def cmd_render(args):
+    from openglraytracer_tpu.models.scene import save_scene
+    from openglraytracer_tpu.ops.render import render
+    from openglraytracer_tpu.utils.image import save_png
+    from openglraytracer_tpu.utils.metrics import MetricsLogger, time_fn
+
+    scene, cam, h, w, depth = _resolve_scene(args)
 
     kwargs = dict(depth=depth, engine=args.engine,
                   chunk_size=args.chunk_size)
@@ -72,12 +94,20 @@ def cmd_render(args):
         _, kp, ks, hot_m = suggest_cull_config(scene, cam, h, w, tile)
         kwargs["cull"] = (tile, kp, ks, hot_m)
         print(f"cull: tile={args.cull_tile} kp={kp} ks={ks} hot_m={hot_m}")
-    img = render(scene, cam, h, w, **kwargs)
+    with _profiled(args.profile_dir):
+        img = render(scene, cam, h, w, **kwargs)
+        img.block_until_ready()
     if args.time:
+        from openglraytracer_tpu.ops.shading import static_shadow_mask
+        from openglraytracer_tpu.utils.metrics import rays_per_frame
         dt = time_fn(lambda: render(scene, cam, h, w, **kwargs))
-        n_rays = h * w * (1 + scene.lights.count)
+        n_rays = rays_per_frame(h, w, scene.lights.count, depth,
+                                shadow_lights=static_shadow_mask(scene))
         MetricsLogger("render").log(h=h, w=w, depth=depth, sec=dt,
                                     mrays_per_s=round(n_rays / dt / 1e6, 2))
+    if args.save_scene:
+        save_scene(scene, args.save_scene, camera=cam)
+        print(f"wrote scene+camera JSON {args.save_scene}")
     save_png(img, args.out)
     print(f"wrote {args.out} ({w}x{h}, depth={depth})")
 
@@ -104,46 +134,83 @@ def cmd_fit(args):
     from openglraytracer_tpu.ops.render import render
     from openglraytracer_tpu.parallel.mesh import make_mesh
     from openglraytracer_tpu.train.inverse import FitConfig, fit
-    from openglraytracer_tpu.utils.image import save_png
+    from openglraytracer_tpu.utils.image import load_png, save_png
 
-    side = args.grid_side
-    scene_true, cam = sphere_grid_scene(side, seed=1)
+    target = None
+    if args.target:
+        # external-target fit: --scene provides the INITIAL scene (+ camera)
+        if not (args.scene and args.scene.endswith(".json")):
+            raise SystemExit("--target needs --scene init.json "
+                             "(the initial scene to optimize, with its "
+                             "camera; see save_scene / render --save-scene)")
+        from openglraytracer_tpu.models.scene import (load_scene_camera,
+                                                      make_camera)
+        scene_true, cam = load_scene_camera(args.scene)
+        target = jnp.asarray(load_png(args.target))
+        th, tw = target.shape[:2]
+        if (args.height and args.height != th) or \
+                (args.width and args.width != tw):
+            raise SystemExit(f"--target {args.target} is {tw}x{th}; "
+                             f"--width/--height must match (or be omitted)")
+        args.height, args.width = th, tw
+        if cam is None:
+            cam = make_camera((0.0, -10.0, 4.0), (-15.0, 0.0, 0.0),
+                              aspect=tw / th)
+    else:
+        side = args.grid_side
+        scene_true, cam = sphere_grid_scene(side, seed=1)
+    args.height = args.height or 128
+    args.width = args.width or 128
 
     cull = None
     if args.engine == "culled":
         from openglraytracer_tpu.ops.accel import suggest_cull_config
-        tile = (args.cull_tile, args.cull_tile)
+        t = args.cull_tile
+        if args.height % t or args.width % t:
+            raise SystemExit(f"--cull-tile {t} must divide the fit "
+                             f"resolution {args.width}x{args.height}")
+        tile = (t, t)
         # generous headroom: the scene moves during the fit
         cull = suggest_cull_config(scene_true, cam, args.height, args.width,
                                    tile, headroom=2.0)
         print(f"cull: {cull}")
 
-    cfg = FitConfig(height=args.height, width=args.width, depth=args.depth,
+    cfg = FitConfig(height=args.height, width=args.width,
+                    depth=args.depth,
                     steps=args.steps, learning_rate=args.lr,
                     checkpoint_dir=args.checkpoint_dir,
                     trainable=tuple(args.trainable.split(",")),
                     engine=args.engine, cull=cull,
                     row_block=args.row_block)
-    target = render(scene_true, cam, cfg.height, cfg.width, depth=cfg.depth)
-
-    # Perturbed init
-    import jax
-    key = jax.random.PRNGKey(0)
-    k1, k2 = jax.random.split(key)
-    scene_init = scene_true._replace(
-        spheres=scene_true.spheres._replace(
-            center=scene_true.spheres.center
-            + 0.3 * jax.random.normal(k1, scene_true.spheres.center.shape),
-            radius=jnp.clip(
-                scene_true.spheres.radius
-                + 0.1 * jax.random.normal(k2, scene_true.spheres.radius.shape),
-                0.1, None)))
+    if target is None:
+        # self-rendered target + perturbed init (the classic synthetic fit)
+        target = render(scene_true, cam, cfg.height, cfg.width,
+                        depth=cfg.depth)
+        import jax
+        key = jax.random.PRNGKey(0)
+        k1, k2 = jax.random.split(key)
+        scene_init = scene_true._replace(
+            spheres=scene_true.spheres._replace(
+                center=scene_true.spheres.center
+                + 0.3 * jax.random.normal(k1, scene_true.spheres.center.shape),
+                radius=jnp.clip(
+                    scene_true.spheres.radius
+                    + 0.1 * jax.random.normal(
+                        k2, scene_true.spheres.radius.shape),
+                    0.1, None)))
+    else:
+        scene_init = scene_true  # the loaded scene IS the starting point
 
     mesh = make_mesh() if args.sharded else None
     t0 = time.time()
-    fitted, losses = fit(scene_init, target, cam, cfg, mesh=mesh)
+    with _profiled(args.profile_dir):
+        fitted, losses = fit(scene_init, target, cam, cfg, mesh=mesh)
     print(f"fit: {len(losses)} logged losses, final {losses[-1][1]:.3e}, "
           f"{time.time() - t0:.1f}s")
+    if args.save_scene:
+        from openglraytracer_tpu.models.scene import save_scene
+        save_scene(fitted, args.save_scene, camera=cam)
+        print(f"wrote fitted scene JSON {args.save_scene}")
     if args.out:
         save_png(render(fitted, cam, cfg.height, cfg.width, depth=cfg.depth),
                  args.out)
@@ -171,11 +238,14 @@ def main(argv=None):
     r.add_argument("--cull-tile", type=int, default=32,
                    help="pixel tile side for engine=culled")
     r.add_argument("--chunk-size", type=int, default=512)
-    r.add_argument("--camera-pos", type=float, nargs=3,
-                   default=[0.0, -10.0, 4.0])
-    r.add_argument("--camera-angles", type=float, nargs=3,
-                   default=[-15.0, 0.0, 0.0])
+    r.add_argument("--camera-pos", type=float, nargs=3, default=None,
+                   help="overrides the scene JSON's camera when given")
+    r.add_argument("--camera-angles", type=float, nargs=3, default=None)
     r.add_argument("--time", action="store_true", help="print timing metrics")
+    r.add_argument("--save-scene", default=None,
+                   help="also write the scene+camera as JSON (round-trip)")
+    r.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace of the render here")
     r.set_defaults(fn=cmd_render)
 
     a = sub.add_parser("animate", help="render the reference animated demo")
@@ -190,8 +260,13 @@ def main(argv=None):
 
     f = sub.add_parser("fit", help="inverse-rendering fit")
     f.add_argument("--grid-side", type=int, default=4)
-    f.add_argument("--width", type=int, default=128)
-    f.add_argument("--height", type=int, default=128)
+    f.add_argument("--target", default=None,
+                   help="fit to this PNG (needs --scene init.json); default "
+                        "is the synthetic self-rendered-target fit")
+    f.add_argument("--scene", default=None,
+                   help="initial scene JSON for --target fits")
+    f.add_argument("--width", type=int, default=None)
+    f.add_argument("--height", type=int, default=None)
     f.add_argument("--depth", type=int, default=0)
     f.add_argument("--steps", type=int, default=100)
     f.add_argument("--lr", type=float, default=1e-2)
@@ -204,6 +279,10 @@ def main(argv=None):
     f.add_argument("--row-block", type=int, default=None)
     f.add_argument("--checkpoint-dir", default=None)
     f.add_argument("--out", default=None)
+    f.add_argument("--save-scene", default=None,
+                   help="write the fitted scene+camera as JSON")
+    f.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace of the fit here")
     f.set_defaults(fn=cmd_fit)
 
     b = sub.add_parser("bench", help="north-star benchmark")

@@ -315,11 +315,38 @@ def scene_from_dict(d: dict, dtype=jnp.float32) -> Scene:
     )
 
 
-def save_scene(scene: Scene, path: str) -> None:
+def camera_to_dict(camera: Camera) -> dict:
+    return {k: np.asarray(v).tolist() for k, v in camera._asdict().items()}
+
+
+def camera_from_dict(d: dict, dtype=jnp.float32) -> Camera:
+    missing = set(Camera._fields) - set(d)
+    if missing:
+        raise ValueError(f"scene JSON: 'camera' is missing {sorted(missing)}")
+    return Camera(**{k: jnp.asarray(d[k], dtype) for k in Camera._fields})
+
+
+def save_scene(scene: Scene, path: str, camera: Camera | None = None) -> None:
+    """Save scene (+ optionally its camera) as JSON. The reference treats
+    scene and camera as one unit compiled into the shader
+    (raytrace_compute.glsl:36-50, :332-367); passing ``camera`` keeps that
+    unit in the data file."""
+    d = scene_to_dict(scene)
+    if camera is not None:
+        d["camera"] = camera_to_dict(camera)
     with open(path, "w") as f:
-        json.dump(scene_to_dict(scene), f, indent=1)
+        json.dump(d, f, indent=1)
 
 
 def load_scene(path: str, dtype=jnp.float32) -> Scene:
     with open(path) as f:
         return scene_from_dict(json.load(f), dtype)
+
+
+def load_scene_camera(path: str, dtype=jnp.float32):
+    """(Scene, Camera | None) from a scene JSON; None when the file has no
+    'camera' entry (camera then comes from CLI flags / defaults)."""
+    with open(path) as f:
+        d = json.load(f)
+    cam = camera_from_dict(d["camera"], dtype) if "camera" in d else None
+    return scene_from_dict(d, dtype), cam

@@ -55,6 +55,15 @@ def encode_png(rgb8: np.ndarray) -> bytes:
         return encode_png_py(rgb8)
 
 
+def load_png(path: str) -> np.ndarray:
+    """PNG -> float32 (H, W, 3) in [0, 1], rows flipped back to the render's
+    GL convention (row 0 = bottom), so ``load_png(save_png(img)) ~= img`` and
+    a loaded file can serve directly as an inverse-rendering target."""
+    from PIL import Image
+    rgb8 = np.asarray(Image.open(path).convert("RGB"), np.uint8)
+    return rgb8[::-1].astype(np.float32) / 255.0
+
+
 def save_png(image, path: str, gather: bool = True) -> None:
     """Save a float (H, W, 3) image (device or host) to a PNG file."""
     if gather:
