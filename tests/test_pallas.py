@@ -1,0 +1,105 @@
+"""Pallas geometry-engine coverage (VERDICT r1 #5): interpret-mode parity
+with the XLA engine and gradient equality through the shared analytic VJP.
+
+On CPU (the test environment) pallas_call runs in interpret mode — the same
+kernel program, executed by the Pallas interpreter — so these tests pin the
+kernel's math and plumbing; the TPU bench (bench.py) times the compiled
+Mosaic kernel itself.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openglraytracer_tpu.models.builders import (eight_sphere_scene,
+                                                 single_sphere_scene,
+                                                 sphere_grid_scene)
+from openglraytracer_tpu.ops.geometry import geometry_op
+from openglraytracer_tpu.ops.pallas_render import pallas_geometry
+from openglraytracer_tpu.ops.raygen import generate_rays
+from openglraytracer_tpu.ops.render import trace_rays_fast
+from openglraytracer_tpu.train.inverse import apply_params, extract_params
+
+H = W = 32
+
+
+def _rays(cam, h=H, w=W):
+    o, d = generate_rays(cam, h, w)
+    return o.reshape(-1, 3), d.reshape(-1, 3)
+
+
+@pytest.mark.parametrize("builder", [single_sphere_scene, eight_sphere_scene,
+                                     lambda: sphere_grid_scene(3)])
+def test_pallas_geometry_matches_xla(builder):
+    scene, cam = builder()
+    o, d = _rays(cam)
+    geo = pallas_geometry(scene, o, d)
+    hit_x, occ_x = geometry_op(scene, o, d, "xla", 512)
+
+    # discrete record identical
+    np.testing.assert_array_equal(np.asarray(geo.hit.hit),
+                                  np.asarray(hit_x.hit))
+    np.testing.assert_array_equal(np.asarray(geo.hit.obj_id),
+                                  np.asarray(hit_x.obj_id))
+    np.testing.assert_array_equal(np.asarray(geo.hit.material_id),
+                                  np.asarray(hit_x.material_id))
+    np.testing.assert_array_equal(np.asarray(geo.hit.inside),
+                                  np.asarray(hit_x.inside))
+    # occlusion is a contract where the primary ray hit
+    hm = np.asarray(hit_x.hit)[:, None]
+    np.testing.assert_array_equal(np.asarray(geo.occluded) & hm,
+                                  np.asarray(occ_x) & hm)
+    # continuous fields: different op order (kernel hoists 1/2qa etc.) =>
+    # allclose, not bit-equal
+    np.testing.assert_allclose(np.asarray(geo.hit.t), np.asarray(hit_x.t),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(geo.hit.n), np.asarray(hit_x.n),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(geo.hit.p), np.asarray(hit_x.p),
+                               rtol=1e-5, atol=5e-5)
+
+
+def test_pallas_render_image_matches_xla():
+    scene, cam = eight_sphere_scene()
+    o, d = _rays(cam)
+    img_p = trace_rays_fast(scene, o, d, 0, engine="pallas")
+    img_x = trace_rays_fast(scene, o, d, 0, engine="xla")
+    np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_x),
+                               rtol=1e-4, atol=2e-5)
+
+
+def test_pallas_gradients_match_xla():
+    """engine='pallas' backward goes through the same analytic winner-replay
+    VJP as 'xla' (geometry_op); gradients must agree to fp tolerance."""
+    scene, cam = eight_sphere_scene()
+    o, d = _rays(cam)
+    target = jnp.zeros((H * W, 3), jnp.float32)
+    params = extract_params(scene, ("spheres.center", "spheres.radius",
+                                    "materials.diffuse", "lights.position"))
+
+    def loss(params, engine):
+        s = apply_params(scene, params)
+        img = trace_rays_fast(s, o, d, 0, engine=engine)
+        return jnp.mean(jnp.square(img - target))
+
+    g_x = jax.grad(loss)(params, "xla")
+    g_p = jax.grad(loss)(params, "pallas")
+    for k in params:
+        a, b = np.asarray(g_x[k]), np.asarray(g_p[k])
+        scale = max(np.abs(a).max(), 1e-8)
+        np.testing.assert_allclose(b, a, atol=1e-4 * scale,
+                                   err_msg=f"grad mismatch for {k}")
+
+
+def test_pallas_ray_padding():
+    """Ray counts that don't fill a kernel tile (BR*128) are padded with
+    zero-direction rays; outputs for the real rays must be unaffected."""
+    scene, cam = single_sphere_scene()
+    o, d = _rays(cam, 20, 20)  # 400 rays: far from a 4096-ray tile multiple
+    geo = pallas_geometry(scene, o, d)
+    hit_x, occ_x = geometry_op(scene, o, d, "xla", 512)
+    np.testing.assert_array_equal(np.asarray(geo.hit.hit),
+                                  np.asarray(hit_x.hit))
+    np.testing.assert_allclose(np.asarray(geo.hit.t), np.asarray(hit_x.t),
+                               rtol=1e-5, atol=1e-5)
