@@ -121,7 +121,7 @@ def cmd_animate(args):
         t = args.start_time + i / args.fps
         scene, cam = reference_frame(t)
         img = render(scene, cam, args.height, args.width, depth=args.depth,
-                     engine="auto")  # OBB scene -> autodiff path
+                     engine=args.engine)
         path = args.out_pattern.format(i)
         save_png(img, path)
         print(f"frame {i}: t={t:.3f}s -> {path}")
@@ -255,6 +255,8 @@ def main(argv=None):
     a.add_argument("--width", type=int, default=640)
     a.add_argument("--height", type=int, default=360)
     a.add_argument("--depth", type=int, default=0)
+    a.add_argument("--engine", default="auto",
+                   choices=["auto", "xla", "autodiff"])
     a.add_argument("--out-pattern", default="frame_{:04d}.png")
     a.set_defaults(fn=cmd_animate)
 

@@ -104,7 +104,8 @@ def trace_rays_fast(scene: Scene, origins, dirs, depth: int = 0,
     """Trace with the analytic O(rays) geometry VJP (ops/geometry.py):
     forward identical to trace_rays; backward gathers each ray's winning
     object, replays one candidate computation, and scatter-adds — instead of
-    autodiff re-scanning every object. Sphere/plane scenes only.
+    autodiff re-scanning every object. All primitive types (spheres, OBBs,
+    planes) on the 'xla' engine.
 
     engine: 'xla' (default), 'pallas' (fused Mosaic kernel forward), or
     'culled' (tile-cone broad phase, ops/accel.py — requires cull =
@@ -146,19 +147,21 @@ def trace_rays_fast(scene: Scene, origins, dirs, depth: int = 0,
 def pick_tracer(scene: Scene, engine: str = "auto",
                 shadow_lights: tuple | None = None):
     """Select the trace implementation by engine name:
-      'auto'          -> 'xla' for sphere/plane scenes, 'autodiff' for OBBs
-      'xla'           -> XLA forward + analytic O(R) VJP
+      'auto'          -> 'xla' (all primitive types, analytic VJP)
+      'xla'           -> XLA forward + analytic O(R) VJP (spheres, OBBs,
+                         planes)
       'pallas'        -> Pallas kernel forward + analytic O(R) VJP
-      'autodiff'      -> pure-XLA forward AND autodiff backward (all
-                         primitive types incl. OBBs; the gradient reference)
+      'autodiff'      -> pure-XLA forward AND autodiff backward (the
+                         gradient reference)
     """
     from openglraytracer_tpu.ops.pallas_render import supports_scene
     if engine == "auto":
-        engine = "xla" if supports_scene(scene) else "autodiff"
+        engine = "xla"
     if engine == "autodiff":
         return trace_rays
-    assert supports_scene(scene), \
-        f"engine='{engine}' supports sphere/plane scenes; OBBs need 'autodiff'"
+    if engine == "pallas":
+        assert supports_scene(scene), \
+            "engine='pallas' supports sphere/plane scenes (use 'xla' for OBBs)"
     return lambda s, o, d, depth=0, chunk_size=512, remat=False: \
         trace_rays_fast(s, o, d, depth, chunk_size=chunk_size, engine=engine,
                         shadow_lights=shadow_lights)

@@ -55,6 +55,42 @@ def test_analytic_vjp_matches_autodiff_bounces():
     _assert_tree_close(g_auto, g_fast, atol=1e-4)
 
 
+def test_analytic_vjp_matches_autodiff_obb_scene():
+    """The reference's own animated demo world (4 OBBs + 1 sphere, incl. the
+    wall cube the camera sits INSIDE) must get the same gradients from the
+    analytic winner-replay VJP as from full autodiff — boxes included
+    (VERDICT r1 #1)."""
+    from openglraytracer_tpu.models.animated import reference_frame
+    scene, cam = reference_frame(0.7)
+    g_auto = _grads(trace_rays, scene, cam)
+    g_fast = _grads(trace_rays_fast, scene, cam)
+    _assert_tree_close(g_auto, g_fast, atol=2e-4)
+    # box gradients are real, not accidental zeros
+    assert np.abs(np.asarray(g_fast.boxes.position)).max() > 0
+    assert np.abs(np.asarray(g_fast.boxes.angles)).max() > 0
+    assert np.abs(np.asarray(g_fast.boxes.mins)).max() > 0
+
+
+def test_obb_forward_identical():
+    from openglraytracer_tpu.models.animated import reference_frame
+    scene, cam = reference_frame(1.3)
+    o, d = generate_rays(cam, 32, 32)
+    o, d = o.reshape(-1, 3), d.reshape(-1, 3)
+    a = np.asarray(trace_rays(scene, o, d))
+    b = np.asarray(trace_rays_fast(scene, o, d))
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_analytic_vjp_matches_autodiff_obb_bounces():
+    """Depth-1 bounces through the glass/mirror OBB scene: reflection AND
+    refraction children (inside-flag IOR flip) with the analytic VJP."""
+    from openglraytracer_tpu.models.animated import reference_frame
+    scene, cam = reference_frame(0.2)
+    g_auto = _grads(trace_rays, scene, cam, h=16, w=16, depth=1)
+    g_fast = _grads(trace_rays_fast, scene, cam, h=16, w=16, depth=1)
+    _assert_tree_close(g_auto, g_fast, atol=5e-4)
+
+
 def test_forward_identical():
     scene, cam = eight_sphere_scene()
     o, d = generate_rays(cam, 32, 32)
