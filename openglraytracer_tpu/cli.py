@@ -81,7 +81,8 @@ def cmd_render(args):
     scene, cam, h, w, depth = _resolve_scene(args)
 
     kwargs = dict(depth=depth, engine=args.engine,
-                  chunk_size=args.chunk_size)
+                  chunk_size=args.chunk_size,
+                  bounce=getattr(args, "bounce", "tree"))
     if args.engine == "culled":
         from openglraytracer_tpu.ops.accel import suggest_cull_config
         t = args.cull_tile
@@ -221,6 +222,28 @@ def cmd_bench(args):
     bench.main()
 
 
+def cmd_scale(args):
+    from openglraytracer_tpu.parallel.distributed import init_distributed
+    from openglraytracer_tpu.parallel.scaling import (format_table,
+                                                      measure_scaling)
+
+    init_distributed(coordinator_address=args.coordinator,
+                     num_processes=args.num_processes,
+                     process_id=args.process_id)
+    scene, cam, h, w, depth = _resolve_scene(args)
+    rows = measure_scaling(scene, cam, h, w, depth=depth, mode=args.mode,
+                           engine=args.engine,
+                           device_counts=args.devices, iters=args.iters)
+    print(format_table(rows))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(rows, f, indent=1)
+        print(f"wrote {args.json}")
+    worst = min(r["efficiency"] for r in rows)
+    print(f"worst-case efficiency: {worst:.1%} "
+          f"(target >= 85%, BASELINE.md)")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="oglrt",
                                 description="TPU-native differentiable raytracer")
@@ -238,6 +261,9 @@ def main(argv=None):
     r.add_argument("--cull-tile", type=int, default=32,
                    help="pixel tile side for engine=culled")
     r.add_argument("--chunk-size", type=int, default=512)
+    r.add_argument("--bounce", default="tree", choices=["tree", "stack"],
+                   help="bounce engine: 'tree' (static unroll) or 'stack' "
+                        "(O(depth)-memory DFS scan for deep recursion)")
     r.add_argument("--camera-pos", type=float, nargs=3, default=None,
                    help="overrides the scene JSON's camera when given")
     r.add_argument("--camera-angles", type=float, nargs=3, default=None)
@@ -256,7 +282,7 @@ def main(argv=None):
     a.add_argument("--height", type=int, default=360)
     a.add_argument("--depth", type=int, default=0)
     a.add_argument("--engine", default="auto",
-                   choices=["auto", "xla", "autodiff"])
+                   choices=["auto", "xla", "pallas", "autodiff"])
     a.add_argument("--out-pattern", default="frame_{:04d}.png")
     a.set_defaults(fn=cmd_animate)
 
@@ -289,6 +315,29 @@ def main(argv=None):
 
     b = sub.add_parser("bench", help="north-star benchmark")
     b.set_defaults(fn=cmd_bench)
+
+    s = sub.add_parser("scale",
+                       help="scaling-efficiency harness (Mrays/s vs devices)")
+    s.add_argument("--scene", default="c3_grid64",
+                   help="builtin config name or scene .json path")
+    s.add_argument("--width", type=int, default=None)
+    s.add_argument("--height", type=int, default=None)
+    s.add_argument("--depth", type=int, default=None)
+    s.add_argument("--mode", default="render", choices=["render", "step"],
+                   help="forward render or full fwd+bwd training step")
+    s.add_argument("--engine", default="auto",
+                   choices=["auto", "xla", "pallas"])
+    s.add_argument("--devices", type=int, nargs="+", default=None,
+                   help="device counts to sweep (default 1,2,4,...,all)")
+    s.add_argument("--iters", type=int, default=5)
+    s.add_argument("--json", default=None, help="write rows to this file")
+    s.add_argument("--coordinator", default=None,
+                   help="multi-host coordinator address (host:port)")
+    s.add_argument("--num-processes", type=int, default=None)
+    s.add_argument("--process-id", type=int, default=None)
+    s.add_argument("--camera-pos", type=float, nargs=3, default=None)
+    s.add_argument("--camera-angles", type=float, nargs=3, default=None)
+    s.set_defaults(fn=cmd_scale)
 
     c = sub.add_parser("configs", help="list builtin configs")
     c.set_defaults(fn=cmd_configs)

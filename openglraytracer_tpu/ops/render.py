@@ -150,21 +150,132 @@ def pick_tracer(scene: Scene, engine: str = "auto",
       'auto'          -> 'xla' (all primitive types, analytic VJP)
       'xla'           -> XLA forward + analytic O(R) VJP (spheres, OBBs,
                          planes)
-      'pallas'        -> Pallas kernel forward + analytic O(R) VJP
+      'pallas'        -> Pallas kernel forward (spheres, OBBs, planes)
+                         + the same analytic O(R) VJP
       'autodiff'      -> pure-XLA forward AND autodiff backward (the
                          gradient reference)
     """
-    from openglraytracer_tpu.ops.pallas_render import supports_scene
     if engine == "auto":
         engine = "xla"
     if engine == "autodiff":
         return trace_rays
-    if engine == "pallas":
-        assert supports_scene(scene), \
-            "engine='pallas' supports sphere/plane scenes (use 'xla' for OBBs)"
     return lambda s, o, d, depth=0, chunk_size=512, remat=False: \
         trace_rays_fast(s, o, d, depth, chunk_size=chunk_size, engine=engine,
                         shadow_lights=shadow_lights)
+
+
+def _dfs_schedule(depth: int):
+    """Static preorder schedule for the full reflection/refraction binary
+    tree of the given depth: one step per tree node, 2^(depth+1) - 1 total.
+
+    Each step is (source_slot, level): source_slot = -1 means the node's ray
+    is the previous step's reflection child (carried directly); source_slot
+    = s >= 0 means it is the pending refraction frame stored at stack slot s
+    (a node at level s stores its refraction child there). This is the
+    reference's stack-machine DFS (raytrace_compute.glsl:844-1105) with the
+    stack order precomputed at trace time — the GLSL pushes/pops dynamically
+    per pixel; here the tree shape is static so the schedule is too.
+    """
+    steps = [(-1, 0)]
+    sim_stack: list[int] = []
+    level = 0
+    total = 2 ** (depth + 1) - 1
+    while len(steps) < total:
+        if level < depth:
+            sim_stack.append(level)
+            level += 1
+            steps.append((-1, level))       # descend the reflection child
+        else:
+            slot = sim_stack.pop()
+            level = slot + 1
+            steps.append((slot, level))     # pop the refraction child
+    return steps
+
+
+def trace_rays_stack(scene: Scene, origins, dirs, depth: int,
+                     chunk_size: int = 512, engine: str = "xla",
+                     shadow_lights: tuple | None = None) -> jnp.ndarray:
+    """Full reflection+refraction bounce tree at O(depth * rays) memory.
+
+    ``trace_rays``'s static unroll materializes all 2^(depth+1)-1 node
+    intermediates at once — depth >= 4 at high resolution blows HBM. This
+    is the memory-bounded equivalent of the reference's 100-frame stack
+    machine (raytrace_compute.glsl:873-874): a ``lax.scan`` over the static
+    DFS schedule, one ray cast per step, carrying only a (depth+1)-slot
+    stack of pending refraction rays.
+
+    The blend chain mix(mix(phong, refl, rho), refr, tau) (:1042-1051)
+    linearizes over the tree — each node contributes
+    throughput * (1-rho')(1-tau') * phong with edge weights rho'(1-tau')
+    (reflection) and tau' (refraction), where rho' = rho*[hit & rho>0] and
+    tau' = tau*[hit & tau>0] and both are zero at leaf depth — so no
+    child-into-parent harvesting state is needed (the GLSL's phases P2-P4
+    become a running weighted sum). Bit-level quirks preserved: the
+    total-internal-reflection zero-vector ray misses and contributes black
+    (:1023), children of missed parents carry zero weight, miss = black.
+
+    Identical output to ``trace_rays`` / ``trace_rays_fast`` (same geometry
+    and shading ops; verified in tests); backward uses the same analytic
+    geometry VJP per step, with the scan saving only O(depth * rays)
+    carries per step instead of the tree's full residual set.
+    """
+    from openglraytracer_tpu.ops.geometry import geometry_op
+    from openglraytracer_tpu.ops.shading import phong_shade_lit
+
+    if depth == 0:
+        return trace_rays_fast(scene, origins, dirs, 0,
+                               chunk_size=chunk_size, engine=engine,
+                               shadow_lights=shadow_lights)
+
+    r = origins.shape[0]
+    dtype = origins.dtype
+    steps = _dfs_schedule(depth)
+    src = jnp.asarray([s for s, _ in steps], jnp.int32)
+    lvl = jnp.asarray([l for _, l in steps], jnp.int32)
+
+    def body(carry, xs):
+        stack, next_o, next_d, next_w, accum = carry
+        s, level = xs
+        use_next = s < 0
+        frame = jax.lax.dynamic_index_in_dim(stack, jnp.maximum(s, 0), 0,
+                                             keepdims=False)   # (R, 7)
+        o = jnp.where(use_next, next_o, frame[:, 0:3])
+        d = jnp.where(use_next, next_d, frame[:, 3:6])
+        w = jnp.where(use_next, next_w, frame[:, 6:7])          # (R, 1)
+
+        hit, occ = geometry_op(scene, o, d, engine, chunk_size,
+                               shadow_lights)
+        color = phong_shade_lit(scene, d, hit, occ)
+        color = jnp.where(hit.hit[:, None], color, 0.0)
+        mat = gather_materials(scene, hit.material_id)
+
+        is_leaf = level >= depth
+        w_refl = jnp.where(hit.hit & (mat.reflectivity > 0.0) & ~is_leaf,
+                           mat.reflectivity, 0.0)[:, None]
+        w_refr = jnp.where(hit.hit & (mat.transparency > 0.0) & ~is_leaf,
+                           mat.transparency, 0.0)[:, None]
+        accum = accum + w * (1.0 - w_refl) * (1.0 - w_refr) * color
+
+        next_o = hit.p + hit.n * BOUNCE_EPS
+        next_d = reflect(d, hit.n)
+        next_w = w * w_refl * (1.0 - w_refr)
+
+        ratio = jnp.where(hit.inside,
+                          mat.refraction_index / AIR_IOR,
+                          AIR_IOR / mat.refraction_index)
+        refr_frame = jnp.concatenate(
+            [hit.p - hit.n * BOUNCE_EPS,
+             refract(d, hit.n, ratio[:, None]),
+             w * w_refr], axis=-1)
+        stack = jax.lax.dynamic_update_index_in_dim(stack, refr_frame,
+                                                    level, 0)
+        return (stack, next_o, next_d, next_w, accum), None
+
+    init = (jnp.zeros((depth + 1, r, 7), dtype),
+            origins, dirs, jnp.ones((r, 1), dtype), jnp.zeros((r, 3), dtype))
+    (_, _, _, _, accum), _ = jax.lax.scan(jax.checkpoint(body), init,
+                                          (src, lvl))
+    return accum
 
 
 def trace_rays_mirror(scene: Scene, origins, dirs, depth: int,
@@ -206,7 +317,8 @@ def render(scene: Scene, camera: Camera, height: int, width: int,
            row_block: int | None = None,
            mirror_only: bool = False, engine: str = "auto",
            cull: tuple | None = None,
-           shadow_lights: tuple | None = None) -> jnp.ndarray:
+           shadow_lights: tuple | None = None,
+           bounce: str = "tree") -> jnp.ndarray:
     """Render an (H, W, 3) image. Pure function of (scene, camera) — the
     reference's statelessness (everything recomputed from `time` each frame,
     SURVEY.md §5 checkpoint entry) preserved by construction.
@@ -221,23 +333,29 @@ def render(scene: Scene, camera: Camera, height: int, width: int,
     shadow_lights: static per-light bools; None auto-detects ambient-only
     lights (whose shadows cannot affect the image) when the scene is
     concrete, and casts all shadows when it is traced.
+
+    bounce: 'tree' (static unroll, O(2^depth) live intermediates) or
+    'stack' (DFS-scan stack machine, O(depth) memory — use for depth >= 3
+    with refraction; engines xla/pallas only).
     """
     if shadow_lights is None:
         from openglraytracer_tpu.ops.shading import static_shadow_mask
         shadow_lights = static_shadow_mask(scene)
     return _render_jit(scene, camera, height, width, depth, chunk_size,
                        remat, row_block, mirror_only, engine, cull,
-                       shadow_lights)
+                       shadow_lights, bounce)
 
 
 @partial(jax.jit, static_argnames=("height", "width", "depth", "chunk_size",
                                    "remat", "row_block", "mirror_only",
-                                   "engine", "cull", "shadow_lights"))
+                                   "engine", "cull", "shadow_lights",
+                                   "bounce"))
 def _render_jit(scene: Scene, camera: Camera, height: int, width: int,
                 depth: int, chunk_size: int, remat: bool,
                 row_block: int | None, mirror_only: bool, engine: str,
                 cull: tuple | None,
-                shadow_lights: tuple | None) -> jnp.ndarray:
+                shadow_lights: tuple | None,
+                bounce: str = "tree") -> jnp.ndarray:
     origins, dirs = generate_rays(camera, height, width)
 
     if engine == "culled":
@@ -261,8 +379,17 @@ def _render_jit(scene: Scene, camera: Camera, height: int, width: int,
     o = origins.reshape(-1, 3)
     d = dirs.reshape(-1, 3)
 
-    tracer = (trace_rays_mirror if mirror_only
-              else pick_tracer(scene, engine, shadow_lights))
+    if bounce == "stack" and not mirror_only:
+        assert engine in ("auto", "xla", "pallas"), \
+            "bounce='stack' supports engines xla/pallas"
+        eng = "xla" if engine == "auto" else engine
+
+        def tracer(s, o, d, depth, chunk_size=512, remat=False):
+            return trace_rays_stack(s, o, d, depth, chunk_size=chunk_size,
+                                    engine=eng, shadow_lights=shadow_lights)
+    else:
+        tracer = (trace_rays_mirror if mirror_only
+                  else pick_tracer(scene, engine, shadow_lights))
 
     if row_block is None or row_block >= height:
         colors = tracer(scene, o, d, depth, chunk_size=chunk_size, remat=remat)

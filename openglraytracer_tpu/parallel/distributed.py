@@ -11,6 +11,7 @@ swapchain, draw_screen_frag.glsl + main.cpp:243-260).
 from __future__ import annotations
 
 import logging
+import os
 
 import jax
 import numpy as np
@@ -18,23 +19,49 @@ import numpy as np
 log = logging.getLogger(__name__)
 
 
+def _already_initialized() -> bool:
+    try:
+        from jax._src import distributed
+        return distributed.global_state.client is not None
+    except Exception:
+        return jax.process_count() > 1
+
+
+def _pod_environment() -> bool:
+    """True when the standard multi-host environment variables are present:
+    a coordinator address set by the launcher, or a Cloud TPU pod worker
+    hostname list with more than one worker."""
+    if any(os.environ.get(k) for k in ("COORDINATOR_ADDRESS",
+                                       "JAX_COORDINATOR_ADDRESS",
+                                       "MEGASCALE_COORDINATOR_ADDRESS")):
+        return True
+    hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    return len([h for h in hosts.split(",") if h]) > 1
+
+
 def init_distributed(coordinator_address: str | None = None,
                      num_processes: int | None = None,
                      process_id: int | None = None) -> None:
-    """Initialize the JAX multi-host runtime. No-op when single-process or
-    already initialized. On TPU pods with the standard environment, all
-    arguments auto-detect."""
-    if jax.process_count() > 1:
-        return  # already initialized
-    try:
-        if coordinator_address is not None:
-            jax.distributed.initialize(coordinator_address=coordinator_address,
-                                       num_processes=num_processes,
-                                       process_id=process_id)
-        elif num_processes is not None:
-            jax.distributed.initialize()
-    except (RuntimeError, ValueError) as e:  # single-host dev loop
-        log.warning("jax.distributed.initialize skipped: %s", e)
+    """Initialize the JAX multi-host runtime.
+
+    Explicit arguments initialize unconditionally (errors propagate — a
+    mis-specified cluster must never silently fall back to single-process).
+    With no arguments, a standard pod environment (coordinator env var set,
+    or a multi-worker TPU hostname list) auto-initializes via JAX's own
+    detection; a plain single-host dev loop stays single-process. No-op if
+    already initialized.
+    """
+    if _already_initialized():
+        return
+    if coordinator_address is not None or num_processes is not None:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+        return
+    if _pod_environment():
+        jax.distributed.initialize()  # all arguments auto-detect
+        log.info("jax.distributed initialized: process %d/%d",
+                 jax.process_index(), jax.process_count())
 
 
 def gather_image(image) -> np.ndarray:

@@ -92,6 +92,70 @@ def test_pallas_gradients_match_xla():
                                    err_msg=f"grad mismatch for {k}")
 
 
+def _assert_geo_matches_xla(scene, o, d):
+    geo = pallas_geometry(scene, o, d)
+    hit_x, occ_x = geometry_op(scene, o, d, "xla", 512)
+    np.testing.assert_array_equal(np.asarray(geo.hit.hit),
+                                  np.asarray(hit_x.hit))
+    np.testing.assert_array_equal(np.asarray(geo.hit.obj_id),
+                                  np.asarray(hit_x.obj_id))
+    np.testing.assert_array_equal(np.asarray(geo.hit.material_id),
+                                  np.asarray(hit_x.material_id))
+    np.testing.assert_array_equal(np.asarray(geo.hit.inside),
+                                  np.asarray(hit_x.inside))
+    hm = np.asarray(hit_x.hit)[:, None]
+    np.testing.assert_array_equal(np.asarray(geo.occluded) & hm,
+                                  np.asarray(occ_x) & hm)
+    np.testing.assert_allclose(np.asarray(geo.hit.t), np.asarray(hit_x.t),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(geo.hit.n), np.asarray(hit_x.n),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("time", [0.3, 1.2])
+def test_pallas_obb_scene_matches_xla(time):
+    """The reference's own OBB demo world (4 boxes + 1 sphere,
+    raytrace_compute.glsl:261-320) through the in-kernel slab test: discrete
+    hit record identical to the XLA engine (incl. the y-before-z
+    face-equality pick baked into the normals), occlusion identical on hits.
+
+    The camera orbits INSIDE the ±11 wall cube, so every miss-free pixel
+    also exercises the inside-box exit path (t_far + unflipped oriented
+    normal)."""
+    from openglraytracer_tpu.models.animated import reference_frame
+    scene, cam = reference_frame(time)
+    o, d = _rays(cam)
+    _assert_geo_matches_xla(scene, o, d)
+
+
+def test_pallas_obb_image_and_grads_match_xla():
+    from openglraytracer_tpu.models.animated import reference_frame
+    scene, cam = reference_frame(0.8)
+    o, d = _rays(cam)
+    img_p = trace_rays_fast(scene, o, d, 0, engine="pallas")
+    img_x = trace_rays_fast(scene, o, d, 0, engine="xla")
+    np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_x),
+                               rtol=1e-4, atol=2e-5)
+
+    target = jnp.zeros((H * W, 3), jnp.float32)
+    params = extract_params(scene, ("boxes.position", "boxes.angles",
+                                    "boxes.mins", "spheres.center"))
+
+    def loss(params, engine):
+        s = apply_params(scene, params)
+        img = trace_rays_fast(s, o, d, 0, engine=engine)
+        return jnp.mean(jnp.square(img - target))
+
+    g_x = jax.grad(loss)(params, "xla")
+    g_p = jax.grad(loss)(params, "pallas")
+    for k in params:
+        a, b = np.asarray(g_x[k]), np.asarray(g_p[k])
+        scale = max(np.abs(a).max(), 1e-8)
+        assert scale > 1e-8 or k != "boxes.position"  # box grads are real
+        np.testing.assert_allclose(b, a, atol=1e-4 * scale,
+                                   err_msg=f"grad mismatch for {k}")
+
+
 def test_pallas_ray_padding():
     """Ray counts that don't fill a kernel tile (BR*128) are padded with
     zero-direction rays; outputs for the real rays must be unaffected."""
