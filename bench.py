@@ -101,7 +101,9 @@ def _chained_step(step, params, scene, target, k: int = 10,
 
 def bench_config(name: str, scene, cam, height: int, width: int, depth: int,
                  engine: str, k: int = 10) -> dict:
-    from openglraytracer_tpu.ops.accel import suggest_cull_config, tile_image
+    from openglraytracer_tpu.ops.accel import (parse_cull_spec,
+                                               suggest_cull_config,
+                                               tile_image)
     from openglraytracer_tpu.ops.raygen import generate_rays
     from openglraytracer_tpu.ops.render import trace_rays_fast
     from openglraytracer_tpu.ops.shading import static_shadow_mask
@@ -115,9 +117,10 @@ def bench_config(name: str, scene, cam, height: int, width: int, depth: int,
     origins, dirs = generate_rays(cam, height, width)
     if engine == "culled":
         tile = (64, 64)
-        _, kp, ks, hot_m = suggest_cull_config(scene, cam, height, width,
-                                               tile, shadow_lights=shadow_mask)
-        cull = (tile[0] * tile[1], kp, ks, hot_m)
+        spec = suggest_cull_config(scene, cam, height, width, tile,
+                                   shadow_lights=shadow_mask)
+        _, kp, ks, hot_m, kb, ksb = parse_cull_spec(spec)
+        cull = (tile[0] * tile[1], kp, ks, hot_m, kb, ksb)
         o = tile_image(origins, *tile).reshape(-1, 3)
         d = tile_image(dirs, *tile).reshape(-1, 3)
     else:

@@ -92,9 +92,11 @@ def cmd_render(args):
                 f"(--width/--height); pick a dividing tile or resolution "
                 f"(e.g. --height {h - h % t or t})")
         tile = (args.cull_tile, args.cull_tile)
-        _, kp, ks, hot_m = suggest_cull_config(scene, cam, h, w, tile)
-        kwargs["cull"] = (tile, kp, ks, hot_m)
-        print(f"cull: tile={args.cull_tile} kp={kp} ks={ks} hot_m={hot_m}")
+        spec = suggest_cull_config(scene, cam, h, w, tile)
+        kwargs["cull"] = spec
+        print(f"cull: tile={args.cull_tile} "
+              + " ".join(f"{k}={v}" for k, v in
+                         zip(("kp", "ks", "hot_m", "kb", "ksb"), spec[1:])))
     with _profiled(args.profile_dir):
         img = render(scene, cam, h, w, **kwargs)
         img.block_until_ready()
@@ -118,11 +120,33 @@ def cmd_animate(args):
     from openglraytracer_tpu.ops.render import render
     from openglraytracer_tpu.utils.image import save_png
 
+    cull = None
+    if args.engine == "culled":
+        from openglraytracer_tpu.ops.accel import (check_cull_overflow,
+                                                   suggest_cull_config)
+        t = args.cull_tile
+        if args.height % t or args.width % t:
+            raise SystemExit(f"--cull-tile {t} must divide the frame "
+                             f"{args.width}x{args.height}")
+        scene0, cam0 = reference_frame(args.start_time)
+        # generous headroom: the spec is reused across the moving sequence,
+        # with a never-silent overflow recheck per frame
+        cull = suggest_cull_config(scene0, cam0, args.height, args.width,
+                                   (t, t), headroom=2.0)
+        print(f"cull: {cull}")
+
     for i in range(args.frames):
         t = args.start_time + i / args.fps
         scene, cam = reference_frame(t)
+        if cull is not None:
+            ovf = check_cull_overflow(scene, cam, args.height, args.width,
+                                      cull)
+            if ovf:
+                print(f"frame {i}: cull overflow {ovf} — resizing")
+                cull = suggest_cull_config(scene, cam, args.height,
+                                           args.width, cull[0], headroom=2.0)
         img = render(scene, cam, args.height, args.width, depth=args.depth,
-                     engine=args.engine)
+                     engine=args.engine, cull=cull)
         path = args.out_pattern.format(i)
         save_png(img, path)
         print(f"frame {i}: t={t:.3f}s -> {path}")
@@ -282,7 +306,9 @@ def main(argv=None):
     a.add_argument("--height", type=int, default=360)
     a.add_argument("--depth", type=int, default=0)
     a.add_argument("--engine", default="auto",
-                   choices=["auto", "xla", "pallas", "autodiff"])
+                   choices=["auto", "xla", "pallas", "culled", "autodiff"])
+    a.add_argument("--cull-tile", type=int, default=8,
+                   help="pixel tile side for engine=culled")
     a.add_argument("--out-pattern", default="frame_{:04d}.png")
     a.set_defaults(fn=cmd_animate)
 

@@ -22,6 +22,11 @@ broad phase* with static shapes throughout:
   4. Shadow rays get the same treatment per light: the cone apex is the light
      position and the cone must contain the tile's bounding box of shadow-ray
      origins (computed on device from the primary hits).
+  5. Oriented boxes cull through their bounding spheres (center =
+     position + R*(mins+maxs)/2, radius = |maxs-mins|/2 — conservative for
+     any rotation) and get their own survivor lists (Kb primary, Ksb shadow);
+     the box narrow phase mirrors intersect.box_candidates' slab test
+     op-for-op over (tiles, Kb, pixels).
 
 Culling is *conservative*: a surviving superset never changes the image. The
 one approximation is the static K: a tile whose true survivor count exceeds K
@@ -146,10 +151,31 @@ def compact_mask(mask, k: int):
 # Culled geometry: forward
 # ---------------------------------------------------------------------------
 
-def shadow_cull_mask(scene: Scene, shadow_org, hit_mask, tile_p: int, lpos):
+def box_bounding_spheres(scene: Scene):
+    """Conservative world-space bounding spheres of the scene's OBBs:
+    center = position + R * (mins+maxs)/2, radius = |maxs - mins| / 2.
+    Returns (centers (M, 3), radii (M,))."""
+    from openglraytracer_tpu.ops.intersect import _rot_apply
+    from openglraytracer_tpu.ops.transforms import euler_rotation_3x3b
+
+    b = scene.boxes
+    rot = euler_rotation_3x3b(b.angles)                     # (M, 3, 3)
+    mid = 0.5 * (b.mins + b.maxs)
+    mx, my, mz = _rot_apply(rot, mid[:, 0], mid[:, 1], mid[:, 2])
+    centers = b.position + jnp.stack([mx, my, mz], axis=-1)
+    radii = 0.5 * jnp.sqrt(jnp.maximum(
+        jnp.sum(jnp.square(b.maxs - b.mins), axis=-1), _SQRT_EPS))
+    return centers, radii
+
+
+def shadow_cull_mask(scene: Scene, shadow_org, hit_mask, tile_p: int, lpos,
+                     centers=None, radii=None):
     """Conservative per-tile occluder mask (T, N) for one light: a cone from
     the light containing the tile's bounding box of shadow-ray origins, plus
-    a range prune. Empty tiles (no hits) keep nothing."""
+    a range prune. Empty tiles (no hits) keep nothing.
+
+    centers/radii default to the scene's spheres; pass box bounding spheres
+    to cull OBB occluders."""
     dtype = shadow_org.dtype
     t_tiles = shadow_org.shape[0] // tile_p
     so_t = shadow_org.reshape(t_tiles, tile_p, 3)
@@ -174,9 +200,10 @@ def shadow_cull_mask(scene: Scene, shadow_org, hit_mask, tile_p: int, lpos):
         jnp.maximum(jnp.sum(axis_s * axis_s, -1, keepdims=True), _SQRT_EPS))
     cos_s = jnp.min(jnp.sum(axis_s[:, None, :] * cdir, -1), axis=1)
     max_d = jnp.max(clen, axis=1)
+    if centers is None:
+        centers, radii = scene.spheres.center, scene.spheres.radius
     smask = sphere_vs_cone(lpos, axis_s, jnp.clip(cos_s, -1.0, 1.0),
-                           scene.spheres.center, scene.spheres.radius,
-                           max_dist=max_d)
+                           centers, radii, max_dist=max_d)
     return smask & (~empty)[:, None]
 
 
@@ -210,14 +237,131 @@ def _segment_occluded(so_t, p_t, lpos, scx, scy, scz, sr, valid):
     return jnp.any(blocked, axis=1)
 
 
+def _box_table(scene: Scene):
+    """(M, 20) [mins(3) maxs(3) pos(3) rot(9) mat gid] — ids as exact small
+    floats; gid is the GLOBAL object index (spheres precede boxes)."""
+    from openglraytracer_tpu.ops.transforms import euler_rotation_3x3b
+
+    b = scene.boxes
+    m = b.count
+    dtype = b.mins.dtype
+    rot = euler_rotation_3x3b(b.angles).reshape(m, 9)
+    n_sph = scene.spheres.count
+    return jnp.concatenate([
+        b.mins, b.maxs, b.position, rot,
+        b.material_id.astype(dtype)[:, None],
+        (n_sph + jnp.arange(m, dtype=dtype))[:, None],
+    ], axis=-1)
+
+
+def _box_slab_tkp(rows, b_valid, rox, roy, roz, rdx, rdy, rdz):
+    """Slab test in the (T, K, P) layout given LOCAL-space ray components
+    (each (T, K, P) or broadcastable). rows (T, K, >=18) box table rows.
+    Mirrors intersect.box_candidates operation-for-operation so candidate
+    t's are bit-identical to the exact engine's. Returns (t (miss=INF), ok,
+    inside, boundary t1/t2 per axis) — normals are the caller's job."""
+    one = jnp.ones_like(rdx)
+    ivx = _safe_div(one, rdx)
+    ivy = _safe_div(one, rdy)
+    ivz = _safe_div(one, rdz)
+    tax = (rows[..., 0:1] - rox) * ivx                      # mins - ro
+    tay = (rows[..., 1:2] - roy) * ivy
+    taz = (rows[..., 2:3] - roz) * ivz
+    tbx = (rows[..., 3:4] - rox) * ivx                      # maxs - ro
+    tby = (rows[..., 4:5] - roy) * ivy
+    tbz = (rows[..., 5:6] - roz) * ivz
+    t1x, t2x = jnp.minimum(tax, tbx), jnp.maximum(tax, tbx)
+    t1y, t2y = jnp.minimum(tay, tby), jnp.maximum(tay, tby)
+    t1z, t2z = jnp.minimum(taz, tbz), jnp.maximum(taz, tbz)
+    t_near = jnp.maximum(t1x, jnp.maximum(t1y, t1z))
+    t_far = jnp.minimum(t2x, jnp.minimum(t2y, t2z))
+
+    ok = (t_near < t_far) & (t_far > 0.0) & b_valid[..., None]
+    inside = ok & (t_near < 0.0)
+    t = jnp.where(inside, t_far, t_near)
+    ok = ok & (t > 0.0)
+    t = jnp.where(ok, t, INF_T)
+    return t, ok, inside, (t1x, t1y, t1z, t2x, t2y, t2z)
+
+
+def _rot_tkp(rows, vx, vy, vz, transpose: bool):
+    """Rotate (T, K-or-1, P) vector components by each row's 3x3 (cols 9:18).
+    transpose=True applies R^T (world -> local)."""
+    r = [rows[..., 9 + i : 10 + i] for i in range(9)]       # (T, K, 1) each
+    if transpose:
+        return (r[0] * vx + r[3] * vy + r[6] * vz,
+                r[1] * vx + r[4] * vy + r[7] * vz,
+                r[2] * vx + r[5] * vy + r[8] * vz)
+    return (r[0] * vx + r[1] * vy + r[2] * vz,
+            r[3] * vx + r[4] * vy + r[5] * vz,
+            r[6] * vx + r[7] * vy + r[8] * vz)
+
+
+def _box_narrow(rows, b_valid, o0, dirs_t):
+    """Primary box narrow phase over tile survivors: shared pinhole origin
+    o0 (3,), dirs_t (T, P, 3). Returns per-candidate (t, ok, inside,
+    n (3 components)) in (T, Kb, P) layout, normals oriented exactly as
+    intersect.box_candidates (y-before-z face-equality pick, sign from the
+    local-space direction)."""
+    wx = (o0[0] - rows[..., 6])[..., None]                  # (T, Kb, 1)
+    wy = (o0[1] - rows[..., 7])[..., None]
+    wz = (o0[2] - rows[..., 8])[..., None]
+    rox, roy, roz = _rot_tkp(rows, wx, wy, wz, transpose=True)
+    dx = dirs_t[..., 0][:, None, :]                         # (T, 1, P)
+    dy = dirs_t[..., 1][:, None, :]
+    dz = dirs_t[..., 2][:, None, :]
+    rdx, rdy, rdz = _rot_tkp(rows, dx, dy, dz, transpose=True)
+
+    t, ok, inside, bounds = _box_slab_tkp(rows, b_valid, rox, roy, roz,
+                                          rdx, rdy, rdz)
+
+    _, t1y, t1z, _, t2y, t2z = bounds
+    by = jnp.where(inside, t2y, t1y)
+    bz = jnp.where(inside, t2z, t1z)
+    face_y = t == by
+    face_z = (~face_y) & (t == bz)
+    face_x = ~(face_y | face_z)
+    rd_face = jnp.where(face_y, rdy, jnp.where(face_z, rdz, rdx))
+    sgn = jnp.where(rd_face > 0.0, -1.0, 1.0)
+    nlx = jnp.where(face_x, sgn, 0.0)
+    nly = jnp.where(face_y, sgn, 0.0)
+    nlz = jnp.where(face_z, sgn, 0.0)
+    nwx, nwy, nwz = _rot_tkp(rows, nlx, nly, nlz, transpose=False)
+    okf = ok.astype(t.dtype)
+    return t, ok, inside, (nwx * okf, nwy * okf, nwz * okf)
+
+
+def _box_segment_occluded(rows, b_valid, so_t, p_t, lpos):
+    """Box occlusion on the shadow segment: cast origin so_t (B, P, 3),
+    unnormalized direction light - p_t (reference :809). Blocked iff the
+    slab hit has t in (0, 1) — identical to the exact engine's
+    box_candidates + t < 1 fold. Returns (B, P) bool."""
+    wx = so_t[..., 0][:, None, :] - rows[..., 6:7]          # (B, K, P)
+    wy = so_t[..., 1][:, None, :] - rows[..., 7:8]
+    wz = so_t[..., 2][:, None, :] - rows[..., 8:9]
+    rox, roy, roz = _rot_tkp(rows, wx, wy, wz, transpose=True)
+    tlx = (lpos[0] - p_t[..., 0])[:, None, :]
+    tly = (lpos[1] - p_t[..., 1])[:, None, :]
+    tlz = (lpos[2] - p_t[..., 2])[:, None, :]
+    rdx, rdy, rdz = _rot_tkp(rows, tlx, tly, tlz, transpose=True)
+    t, ok, _, _ = _box_slab_tkp(rows, b_valid, rox, roy, roz, rdx, rdy, rdz)
+    return jnp.any(ok & (t < 1.0), axis=1)
+
+
 class CullAux(NamedTuple):
     """Survivor lists + counts (counts are diagnostics: count > K = overflow)."""
-    p_idx: jnp.ndarray      # (T, Kp) primary survivor object ids
+    p_idx: jnp.ndarray      # (T, Kp) primary survivor SPHERE ids
     p_valid: jnp.ndarray    # (T, Kp)
     p_count: jnp.ndarray    # (T,)
     s_count: jnp.ndarray    # (L, T)
     s_overflow: jnp.ndarray  # (L,) cold tiles whose occluders exceeded Ks
-    j_local: jnp.ndarray    # (T, P) winning survivor slot (-1 = miss/plane)
+    j_local: jnp.ndarray    # (T, P) winning sphere survivor slot (-1 = other)
+    b_idx: jnp.ndarray      # (T, Kb) primary survivor BOX ids (local 0..M)
+    b_valid: jnp.ndarray    # (T, Kb)
+    b_count: jnp.ndarray    # (T,)
+    sb_count: jnp.ndarray   # (L, T) shadow box survivor counts
+    sb_overflow: jnp.ndarray  # (L,) tiles whose box occluders exceeded Ksb
+    jb_local: jnp.ndarray   # (T, P) winning box survivor slot (-1 = other)
 
 
 def _sphere_table(scene: Scene):
@@ -237,9 +381,21 @@ def _gather_tile_rows(table, idx):
         idx.shape + (table.shape[-1],))
 
 
+def parse_cull_spec(cull):
+    """Normalize a cull spec ``(tile, kp, ks[, hot_m[, kb, ksb]])`` to a
+    6-tuple. ``tile`` is (th, tw) at the image level or tile_p once tiled;
+    kb/ksb = 0 mean dense boxes (Kb = Ksb = M — trivially complete; box
+    counts are tiny in every reference/graded scene)."""
+    tile, kp, ks = cull[:3]
+    hot_m = cull[3] if len(cull) > 3 else 0
+    kb = cull[4] if len(cull) > 4 else 0
+    ksb = cull[5] if len(cull) > 5 else 0
+    return tile, kp, ks, hot_m, kb, ksb
+
+
 def culled_geometry(scene: Scene, origins, dirs, tile_p: int, kp: int,
                     ks: int, shadow_lights: tuple | None = None,
-                    hot_m: int = 0):
+                    hot_m: int = 0, kb: int = 0, ksb: int = 0):
     """Closest hit + all-light occlusion with tile-cone culling.
 
     origins, dirs: (R, 3) in TILE-MAJOR order (tile_image), R = T * tile_p;
@@ -248,104 +404,168 @@ def culled_geometry(scene: Scene, origins, dirs, tile_p: int, kp: int,
     pass (shading.static_shadow_mask). hot_m > 0 gives the top-M
     highest-count tiles per light a dense all-spheres shadow pass so ks can
     be sized by a quantile of the counts instead of the max (long shadows
-    make a few tiles legitimately see most of the scene). Returns
-    (Hit (R,), occluded (R, L), CullAux).
+    make a few tiles legitimately see most of the scene). Oriented boxes
+    cull through their bounding spheres into separate (T, Kb) primary and
+    (T, Ksb) shadow survivor lists; kb/ksb = 0 (the default) means dense
+    (Kb = M). Returns (Hit (R,), occluded (R, L), CullAux).
     """
-    assert scene.boxes.count == 0, "culled engine: sphere/plane scenes only"
     r_total = origins.shape[0]
     t_tiles = r_total // tile_p
     dtype = origins.dtype
     n_sph = scene.spheres.count
+    n_box = scene.boxes.count
     centers, radii = scene.spheres.center, scene.spheres.radius
     o0 = origins[0]
+    kb = min(kb, n_box) if kb > 0 else n_box
+    ksb = min(ksb, n_box) if ksb > 0 else n_box
 
     dirs_t = dirs.reshape(t_tiles, tile_p, 3)
     axis, cos_half = tile_cones(dirs_t)
 
-    # ---- primary broad phase
-    pmask = sphere_vs_cone(o0, axis, cos_half, centers, radii)
-    p_idx, p_valid, p_count = compact_mask(pmask, kp)
-    kp_eff = p_idx.shape[-1]
-    rows = _gather_tile_rows(_sphere_table(scene), p_idx)   # (T, Kp, 6)
-    cx, cy, cz = rows[..., 0], rows[..., 1], rows[..., 2]   # (T, Kp)
-    rad = rows[..., 3]
+    if n_sph:
+        # ---- primary broad phase
+        pmask = sphere_vs_cone(o0, axis, cos_half, centers, radii)
+        p_idx, p_valid, p_count = compact_mask(pmask, kp)
+        kp_eff = p_idx.shape[-1]
+        rows = _gather_tile_rows(_sphere_table(scene), p_idx)  # (T, Kp, 6)
+        cx, cy, cz = rows[..., 0], rows[..., 1], rows[..., 2]  # (T, Kp)
+        rad = rows[..., 3]
 
-    # ---- narrow phase per (tile, survivor, pixel). The arithmetic mirrors
-    # intersect.sphere_candidates OPERATION FOR OPERATION so candidate t's
-    # are bit-identical to the exact path's — a reformulation (e.g. qa = 1
-    # for unit dirs) rounds differently and flips disc's sign on tangent
-    # grazes, visibly changing ~1e-4 of pixels vs the exact engine.
-    #
-    # LAYOUT: candidates are (T, Kp, P) with PIXELS on the minor (lane) axis.
-    # (T, P, Kp) would put Kp on the lanes, which the TPU pads to 128 — a
-    # Kp=24 scan would compute 5x dummy lanes. P is always lane-aligned.
-    ocx = (o0[0] - cx)[:, :, None]                          # (T, Kp, 1): o-c
-    ocy = (o0[1] - cy)[:, :, None]
-    ocz = (o0[2] - cz)[:, :, None]
-    qc = (ocx * ocx + ocy * ocy + ocz * ocz
-          - (rad * rad)[:, :, None])                        # (T, Kp, 1)
-    dx = dirs_t[..., 0][:, None, :]                         # (T, 1, P)
-    dy = dirs_t[..., 1][:, None, :]
-    dz = dirs_t[..., 2][:, None, :]
-    qa = dx * dx + dy * dy + dz * dz                        # (T, 1, P)
-    qb = 2.0 * (dx * ocx + dy * ocy + dz * ocz)             # (T, Kp, P)
-    qd = qb * qb - 4.0 * qa * qc
-    ok = (qd >= 0.0) & (qa > _DIV_EPS) & p_valid[:, :, None]
-    sq = jnp.where(ok, jnp.sqrt(jnp.maximum(qd, _SQRT_EPS)), 0.0)
-    inv_2qa = _safe_div(jnp.asarray(0.5, dtype), qa)
-    t1 = (-qb + sq) * inv_2qa
-    t2 = (-qb - sq) * inv_2qa
-    t_near = jnp.minimum(t1, t2)
-    t_far = jnp.maximum(t1, t2)
-    ok = ok & (t_far >= 0.0)
-    inside = ok & (t_near < 0.0)
-    t = jnp.where(inside, t_far, t_near)
-    ok = ok & (t > 0.0)
-    t = jnp.where(ok, t, INF_T)
+        # ---- narrow phase per (tile, survivor, pixel). The arithmetic
+        # mirrors intersect.sphere_candidates OPERATION FOR OPERATION so
+        # candidate t's are bit-identical to the exact path's — a
+        # reformulation (e.g. qa = 1 for unit dirs) rounds differently and
+        # flips disc's sign on tangent grazes, visibly changing ~1e-4 of
+        # pixels vs the exact engine.
+        #
+        # LAYOUT: candidates are (T, Kp, P) with PIXELS on the minor (lane)
+        # axis. (T, P, Kp) would put Kp on the lanes, which the TPU pads to
+        # 128 — a Kp=24 scan would compute 5x dummy lanes. P is always
+        # lane-aligned.
+        ocx = (o0[0] - cx)[:, :, None]                      # (T, Kp, 1): o-c
+        ocy = (o0[1] - cy)[:, :, None]
+        ocz = (o0[2] - cz)[:, :, None]
+        qc = (ocx * ocx + ocy * ocy + ocz * ocz
+              - (rad * rad)[:, :, None])                    # (T, Kp, 1)
+        dx = dirs_t[..., 0][:, None, :]                     # (T, 1, P)
+        dy = dirs_t[..., 1][:, None, :]
+        dz = dirs_t[..., 2][:, None, :]
+        qa = dx * dx + dy * dy + dz * dz                    # (T, 1, P)
+        qb = 2.0 * (dx * ocx + dy * ocy + dz * ocz)         # (T, Kp, P)
+        qd = qb * qb - 4.0 * qa * qc
+        ok = (qd >= 0.0) & (qa > _DIV_EPS) & p_valid[:, :, None]
+        sq = jnp.where(ok, jnp.sqrt(jnp.maximum(qd, _SQRT_EPS)), 0.0)
+        inv_2qa = _safe_div(jnp.asarray(0.5, dtype), qa)
+        t1 = (-qb + sq) * inv_2qa
+        t2 = (-qb - sq) * inv_2qa
+        t_near = jnp.minimum(t1, t2)
+        t_far = jnp.maximum(t1, t2)
+        ok = ok & (t_far >= 0.0)
+        inside = ok & (t_near < 0.0)
+        t = jnp.where(inside, t_far, t_near)
+        ok = ok & (t > 0.0)
+        t = jnp.where(ok, t, INF_T)
 
-    # ---- fold winner: min-t + first-survivor tie (ascending object order)
-    tc = jnp.min(t, axis=1)                                 # (T, P)
-    iota = jnp.arange(kp_eff, dtype=jnp.int32)[None, :, None]
-    j = jnp.min(jnp.where(t == tc[:, None, :], iota, kp_eff), axis=1)
-    sel = iota == j[:, None, :]                             # (T, Kp, P)
-    # one batched MXU contraction folds center/radius/mat/gid of the winner
-    win = jnp.einsum("tkp,tkf->tfp", sel.astype(dtype), rows,
-                     precision=jax.lax.Precision.HIGHEST)   # (T, 6, P)
-    ic = jnp.any(sel & inside, axis=1)
+        # ---- fold winner: min-t + first-survivor tie (ascending order)
+        tc = jnp.min(t, axis=1)                             # (T, P)
+        iota = jnp.arange(kp_eff, dtype=jnp.int32)[None, :, None]
+        j = jnp.min(jnp.where(t == tc[:, None, :], iota, kp_eff), axis=1)
+        sel = iota == j[:, None, :]                         # (T, Kp, P)
+        # one batched MXU contraction folds c/r/mat/gid of the winner
+        win = jnp.einsum("tkp,tkf->tfp", sel.astype(dtype), rows,
+                         precision=jax.lax.Precision.HIGHEST)  # (T, 6, P)
+        ic = jnp.any(sel & inside, axis=1)
 
-    hit_s = tc < MISS_T
-    t_flat = tc.reshape(-1)
-    in_flat = ic.reshape(-1)
-    mat_flat = win[:, 4, :].reshape(-1).astype(jnp.int32)
-    gid_flat = win[:, 5, :].reshape(-1).astype(jnp.int32)
-    j_local = jnp.where(hit_s, j, -1)
+        hit_s = tc < MISS_T
+        t_flat = tc.reshape(-1)
+        in_flat = ic.reshape(-1)
+        mat_flat = win[:, 4, :].reshape(-1).astype(jnp.int32)
+        gid_flat = win[:, 5, :].reshape(-1).astype(jnp.int32)
+        j_local = jnp.where(hit_s, j, -1)
 
-    # finalize sphere normal from the winning center (see closest_hit_sp)
-    hs_flat = hit_s.reshape(-1)
-    ts = jnp.where(hs_flat, t_flat, 0.0)
-    p = origins + ts[:, None] * dirs
-    u = p - jnp.stack([win[:, 0, :].reshape(-1),
-                       win[:, 1, :].reshape(-1),
-                       win[:, 2, :].reshape(-1)], axis=-1)
-    inv_len = jax.lax.rsqrt(jnp.maximum(jnp.sum(u * u, -1), _SQRT_EPS))
-    sgn = jnp.where(in_flat, -inv_len, inv_len) * hs_flat.astype(dtype)
-    n = u * sgn[:, None]
+        # finalize sphere normal from the winning center (closest_hit_sp)
+        hs_flat = hit_s.reshape(-1)
+        ts = jnp.where(hs_flat, t_flat, 0.0)
+        p = origins + ts[:, None] * dirs
+        u = p - jnp.stack([win[:, 0, :].reshape(-1),
+                           win[:, 1, :].reshape(-1),
+                           win[:, 2, :].reshape(-1)], axis=-1)
+        inv_len = jax.lax.rsqrt(jnp.maximum(jnp.sum(u * u, -1), _SQRT_EPS))
+        sgn = jnp.where(in_flat, -inv_len, inv_len) * hs_flat.astype(dtype)
+        n = u * sgn[:, None]
+    else:
+        t_flat = jnp.full((r_total,), INF_T, dtype)
+        n = jnp.zeros((r_total, 3), dtype)
+        in_flat = jnp.zeros((r_total,), bool)
+        mat_flat = jnp.zeros((r_total,), jnp.int32)
+        gid_flat = jnp.full((r_total,), -1, jnp.int32)
+        j_local = jnp.full((t_tiles, tile_p), -1, jnp.int32)
+        p_idx = jnp.zeros((t_tiles, 0), jnp.int32)
+        p_valid = jnp.zeros((t_tiles, 0), bool)
+        p_count = jnp.zeros((t_tiles,), jnp.int32)
 
-    # ---- planes: dense (tiny count), merged with sphere-first tie order
+    # ---- boxes: bounding-sphere broad phase + slab narrow phase, merged
+    # with the sphere winner in global-id order (spheres precede boxes, so
+    # strict < keeps the sphere at equal t — exactly the exact fold's
+    # cross-chunk semantics)
+    if n_box:
+        btab = _box_table(scene)
+        bc_bs, br_bs = box_bounding_spheres(scene)
+        bmask = sphere_vs_cone(o0, axis, cos_half, bc_bs, br_bs)
+        b_idx, b_valid, b_count = compact_mask(bmask, kb)
+        kb_eff = b_idx.shape[-1]
+        brows = _gather_tile_rows(btab, b_idx)              # (T, Kb, 20)
+        tb, okb, insb, (nbx, nby, nbz) = _box_narrow(brows, b_valid, o0,
+                                                     dirs_t)
+        tbc = jnp.min(tb, axis=1)                           # (T, P)
+        iota_b = jnp.arange(kb_eff, dtype=jnp.int32)[None, :, None]
+        jb = jnp.min(jnp.where(tb == tbc[:, None, :], iota_b, kb_eff),
+                     axis=1)
+        selb = iota_b == jb[:, None, :]                     # (T, Kb, P)
+        selb_f = selb.astype(dtype)
+        winb = jnp.einsum("tkp,tkf->tfp", selb_f, brows[..., 18:20],
+                          precision=jax.lax.Precision.HIGHEST)  # (T, 2, P)
+        nb = jnp.stack([jnp.sum(selb_f * nbx, axis=1).reshape(-1),
+                        jnp.sum(selb_f * nby, axis=1).reshape(-1),
+                        jnp.sum(selb_f * nbz, axis=1).reshape(-1)], axis=-1)
+        icb = jnp.any(selb & insb, axis=1).reshape(-1)
+        tb_flat = tbc.reshape(-1)
+        use_box = tb_flat < t_flat
+        ub_t = use_box.reshape(t_tiles, tile_p)
+        t_flat = jnp.where(use_box, tb_flat, t_flat)
+        n = jnp.where(use_box[:, None], nb, n)
+        in_flat = jnp.where(use_box, icb, in_flat)
+        mat_flat = jnp.where(use_box,
+                             winb[:, 0, :].reshape(-1).astype(jnp.int32),
+                             mat_flat)
+        gid_flat = jnp.where(use_box,
+                             winb[:, 1, :].reshape(-1).astype(jnp.int32),
+                             gid_flat)
+        j_local = jnp.where(ub_t, -1, j_local)
+        jb_local = jnp.where(ub_t & (tbc < MISS_T), jb, -1)
+    else:
+        b_idx = jnp.zeros((t_tiles, 0), jnp.int32)
+        b_valid = jnp.zeros((t_tiles, 0), bool)
+        b_count = jnp.zeros((t_tiles,), jnp.int32)
+        jb_local = jnp.full((t_tiles, tile_p), -1, jnp.int32)
+
+    # ---- planes: dense (tiny count), merged with object-first tie order
     pln = scene.planes
     if pln.count:
         tpl, npl, _ = plane_candidates(origins, dirs, pln.normal, pln.offset,
                                        jnp.ones((pln.count,), bool))
         bp = _fold_chunk(_init_best(r_total, dtype), tpl, npl,
                          jnp.zeros_like(tpl, bool), pln.material_id,
-                         n_sph, 0)
+                         n_sph + n_box, 0)
         sw = t_flat <= bp.t
         t_flat = jnp.where(sw, t_flat, bp.t)
         n = jnp.where(sw[:, None], n, bp.n)
         in_flat = jnp.where(sw, in_flat, bp.inside)
         mat_flat = jnp.where(sw, mat_flat, bp.material_id)
         gid_flat = jnp.where(sw, gid_flat, bp.obj_id)
-        j_local = jnp.where(sw.reshape(t_tiles, tile_p), j_local, -1)
+        sw_t = sw.reshape(t_tiles, tile_p)
+        j_local = jnp.where(sw_t, j_local, -1)
+        jb_local = jnp.where(sw_t, jb_local, -1)
 
     hit_mask = t_flat < MISS_T
     t_for_p = jnp.where(hit_mask, t_flat, 0.0)
@@ -363,43 +583,69 @@ def culled_geometry(scene: Scene, origins, dirs, tile_p: int, kp: int,
     occ_cols = []
     s_counts = []
     s_overflow = []
+    sb_counts = []
+    sb_overflow = []
+    zero_c = jnp.zeros((t_tiles,), jnp.int32)
+    zero_o = jnp.zeros((), jnp.int32)
     for li in range(n_lights):
         if shadow_lights is not None and not shadow_lights[li]:
             occ_cols.append(jnp.zeros((r_total,), bool))
-            s_counts.append(jnp.zeros((t_tiles,), jnp.int32))
-            s_overflow.append(jnp.zeros((), jnp.int32))
+            s_counts.append(zero_c)
+            s_overflow.append(zero_o)
+            sb_counts.append(zero_c)
+            sb_overflow.append(zero_o)
             continue
         lpos = scene.lights.position[li]
-        smask = shadow_cull_mask(scene, shadow_org, hit_mask, tile_p, lpos)
-        s_idx, s_valid, s_count = compact_mask(smask, ks)
-        s_counts.append(s_count)
-        srows = _gather_tile_rows(
-            jnp.concatenate([centers, radii[:, None]], -1), s_idx)
-        occ_t = _segment_occluded(so_t, p_t, lpos,
-                                  srows[..., 0], srows[..., 1],
-                                  srows[..., 2], srows[..., 3],
-                                  s_valid)                   # (T, P)
+        occ_t = jnp.zeros((t_tiles, tile_p), bool)
 
-        if hot_m > 0:
-            # hot-tile pass: the top-M tiles by potential-occluder count get
-            # a dense all-spheres test, so the static Ks only has to cover
-            # the OTHER tiles — sized by a quantile instead of the max.
-            _, hot_ids = jax.lax.top_k(s_count, hot_m)
-            occ_h = _segment_occluded(
-                jnp.take(so_t, hot_ids, axis=0),
-                jnp.take(p_t, hot_ids, axis=0), lpos,
-                centers[None, :, 0], centers[None, :, 1],
-                centers[None, :, 2], radii[None, :],
-                jnp.ones((1, n_sph), bool))                  # (M, P)
-            is_hot = jnp.zeros((t_tiles,), bool).at[hot_ids].set(True)
-            occ_full = jnp.zeros((t_tiles, tile_p), bool) \
-                .at[hot_ids].set(occ_h)
-            occ_t = jnp.where(is_hot[:, None], occ_full, occ_t)
-            # cold tiles above Ks = dropped occluders: report, never silent
-            s_overflow.append(jnp.sum((s_count > ks) & ~is_hot,
-                                      dtype=jnp.int32))
+        if n_sph:
+            smask = shadow_cull_mask(scene, shadow_org, hit_mask, tile_p,
+                                     lpos)
+            s_idx, s_valid, s_count = compact_mask(smask, ks)
+            s_counts.append(s_count)
+            srows = _gather_tile_rows(
+                jnp.concatenate([centers, radii[:, None]], -1), s_idx)
+            occ_t = _segment_occluded(so_t, p_t, lpos,
+                                      srows[..., 0], srows[..., 1],
+                                      srows[..., 2], srows[..., 3],
+                                      s_valid)               # (T, P)
+
+            if hot_m > 0:
+                # hot-tile pass: the top-M tiles by potential-occluder count
+                # get a dense all-spheres test, so the static Ks only has to
+                # cover the OTHER tiles — sized by a quantile, not the max.
+                _, hot_ids = jax.lax.top_k(s_count, hot_m)
+                occ_h = _segment_occluded(
+                    jnp.take(so_t, hot_ids, axis=0),
+                    jnp.take(p_t, hot_ids, axis=0), lpos,
+                    centers[None, :, 0], centers[None, :, 1],
+                    centers[None, :, 2], radii[None, :],
+                    jnp.ones((1, n_sph), bool))              # (M, P)
+                is_hot = jnp.zeros((t_tiles,), bool).at[hot_ids].set(True)
+                occ_full = jnp.zeros((t_tiles, tile_p), bool) \
+                    .at[hot_ids].set(occ_h)
+                occ_t = jnp.where(is_hot[:, None], occ_full, occ_t)
+                # cold tiles above Ks = dropped occluders: never silent
+                s_overflow.append(jnp.sum((s_count > ks) & ~is_hot,
+                                          dtype=jnp.int32))
+            else:
+                s_overflow.append(jnp.sum(s_count > ks, dtype=jnp.int32))
         else:
-            s_overflow.append(jnp.sum(s_count > ks, dtype=jnp.int32))
+            s_counts.append(zero_c)
+            s_overflow.append(zero_o)
+
+        if n_box:
+            bsmask = shadow_cull_mask(scene, shadow_org, hit_mask, tile_p,
+                                      lpos, centers=bc_bs, radii=br_bs)
+            sb_idx, sb_valid, sb_cnt = compact_mask(bsmask, ksb)
+            sbrows = _gather_tile_rows(btab, sb_idx)
+            occ_t = occ_t | _box_segment_occluded(sbrows, sb_valid, so_t,
+                                                  p_t, lpos)
+            sb_counts.append(sb_cnt)
+            sb_overflow.append(jnp.sum(sb_cnt > ksb, dtype=jnp.int32))
+        else:
+            sb_counts.append(zero_c)
+            sb_overflow.append(zero_o)
 
         occ = occ_t.reshape(-1)                              # (R,)
         if pln.count:
@@ -413,12 +659,16 @@ def culled_geometry(scene: Scene, origins, dirs, tile_p: int, kp: int,
 
     occluded = jnp.stack(occ_cols, axis=-1) if n_lights else \
         jnp.zeros((r_total, 0), bool)
+    stack_or = lambda xs, shape: (jnp.stack(xs) if n_lights
+                                  else jnp.zeros(shape, jnp.int32))
     aux = CullAux(p_idx=p_idx, p_valid=p_valid, p_count=p_count,
-                  s_count=jnp.stack(s_counts) if n_lights else
-                  jnp.zeros((0, t_tiles), jnp.int32),
-                  s_overflow=jnp.stack(s_overflow) if n_lights else
-                  jnp.zeros((0,), jnp.int32),
-                  j_local=j_local)
+                  s_count=stack_or(s_counts, (0, t_tiles)),
+                  s_overflow=stack_or(s_overflow, (0,)),
+                  j_local=j_local,
+                  b_idx=b_idx, b_valid=b_valid, b_count=b_count,
+                  sb_count=stack_or(sb_counts, (0, t_tiles)),
+                  sb_overflow=stack_or(sb_overflow, (0,)),
+                  jb_local=jb_local)
     return hit, occluded, aux
 
 
@@ -437,22 +687,36 @@ def culled_material_rows(scene: Scene, hit: Hit, aux: CullAux, tile_p: int):
     r_total = hit.t.shape[0]
     t_tiles = r_total // tile_p
     n_sph = scene.spheres.count
+    n_box = scene.boxes.count
     table = material_table(scene)                           # (K, 20)
+    nfeat = table.shape[-1]
 
-    surv_mid = jnp.take(scene.spheres.material_id, aux.p_idx, axis=0)
-    surv_rows = jnp.take(table, surv_mid, axis=0)           # (T, Kp, 20)
-    kp_eff = aux.p_idx.shape[-1]
-    sel = (aux.j_local[..., None]
-           == jnp.arange(kp_eff, dtype=jnp.int32)[None, None, :])
-    rows = jnp.einsum("tpk,tkf->tpf", sel.astype(dtype), surv_rows,
-                      precision=jax.lax.Precision.HIGHEST)
+    rows = jnp.zeros((t_tiles, tile_p, nfeat), dtype)
+    if n_sph:
+        surv_mid = jnp.take(scene.spheres.material_id, aux.p_idx, axis=0)
+        surv_rows = jnp.take(table, surv_mid, axis=0)       # (T, Kp, 20)
+        kp_eff = aux.p_idx.shape[-1]
+        sel = (aux.j_local[..., None]
+               == jnp.arange(kp_eff, dtype=jnp.int32)[None, None, :])
+        rows = rows + jnp.einsum("tpk,tkf->tpf", sel.astype(dtype),
+                                 surv_rows,
+                                 precision=jax.lax.Precision.HIGHEST)
+    if n_box:
+        surv_mid_b = jnp.take(scene.boxes.material_id, aux.b_idx, axis=0)
+        surv_rows_b = jnp.take(table, surv_mid_b, axis=0)   # (T, Kb, 20)
+        kb_eff = aux.b_idx.shape[-1]
+        selb = (aux.jb_local[..., None]
+                == jnp.arange(kb_eff, dtype=jnp.int32)[None, None, :])
+        rows = rows + jnp.einsum("tpk,tkf->tpf", selb.astype(dtype),
+                                 surv_rows_b,
+                                 precision=jax.lax.Precision.HIGHEST)
     rows = rows.reshape(r_total, -1)
 
     pln = scene.planes
     if pln.count:
         pln_rows = jnp.take(table, pln.material_id, axis=0)  # (P, 20)
-        is_pln = hit.hit & (hit.obj_id >= n_sph)
-        pid = jnp.clip(hit.obj_id - n_sph, 0, pln.count - 1)
+        is_pln = hit.hit & (hit.obj_id >= n_sph + n_box)
+        pid = jnp.clip(hit.obj_id - n_sph - n_box, 0, pln.count - 1)
         oh = ((pid[:, None] == jnp.arange(pln.count, dtype=jnp.int32)[None])
               & is_pln[:, None]).astype(dtype)
         rows = rows + jnp.matmul(oh, pln_rows,
@@ -464,56 +728,87 @@ def culled_material_rows(scene: Scene, hit: Hit, aux: CullAux, tile_p: int):
 # Custom VJP: tile-structured analytic backward
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
 def culled_geometry_op(scene: Scene, origins, dirs, tile_p: int, kp: int,
                        ks: int, shadow_lights: tuple | None = None,
-                       hot_m: int = 0):
+                       hot_m: int = 0, kb: int = 0, ksb: int = 0):
     hit, occ, aux = culled_geometry(scene, origins, dirs, tile_p, kp, ks,
-                                    shadow_lights, hot_m)
+                                    shadow_lights, hot_m, kb, ksb)
     return hit, occ, aux
 
 
-def _culled_fwd(scene, origins, dirs, tile_p, kp, ks, shadow_lights, hot_m):
+def _culled_fwd(scene, origins, dirs, tile_p, kp, ks, shadow_lights, hot_m,
+                kb, ksb):
     hit, occ, aux = culled_geometry(scene, origins, dirs, tile_p, kp, ks,
-                                    shadow_lights, hot_m)
+                                    shadow_lights, hot_m, kb, ksb)
     return (hit, occ, aux), (scene, origins, dirs, hit, aux)
 
 
-def _culled_bwd(tile_p, kp, ks, shadow_lights, hot_m, res, g):
+def _culled_bwd(tile_p, kp, ks, shadow_lights, hot_m, kb, ksb, res, g):
     """Analytic winner-only backward (see ops/geometry.py) with the gather
     and scatter routed through the (tiles, K) survivor lists: O(R*K + T*K*N)
-    one-hot contractions instead of O(R)-row global gathers/scatters."""
+    one-hot contractions instead of O(R)-row global gathers/scatters. Box
+    winners replay the slab test through _winner_recompute's box branch;
+    the angles->rotation chain is differentiated per BOX (tiny vjp), not
+    per ray."""
     from openglraytracer_tpu.ops.geometry import _winner_recompute
+    from openglraytracer_tpu.ops.transforms import euler_rotation_3x3b
 
     scene, origins, dirs, hit, aux = res
     g_hit, _g_occ, _g_aux = g
     gt, gp, gn = g_hit.t, g_hit.p, g_hit.n
 
     n_sph = scene.spheres.count
+    n_box = scene.boxes.count
     n_pln = scene.planes.count
     r_total = origins.shape[0]
     t_tiles = r_total // tile_p
     dtype = origins.dtype
+    hi = jax.lax.Precision.HIGHEST
 
     idx = hit.obj_id
     hm = hit.hit
-    is_sph = hm & (idx < n_sph) & (idx >= 0)
+    is_sph = (hm & (idx >= 0) & (idx < n_sph)) if n_sph \
+        else jnp.zeros_like(hm)
+    is_box = (hm & (idx >= n_sph) & (idx < n_sph + n_box)) if n_box \
+        else jnp.zeros_like(hm)
 
     # winner sphere params via the tile survivor lists (tiny gathers)
-    table = jnp.concatenate([scene.spheres.center,
-                             scene.spheres.radius[:, None]], -1)  # (N, 4)
-    rows = _gather_tile_rows(table, aux.p_idx)              # (T, Kp, 4)
-    jl = aux.j_local                                        # (T, P)
-    sel = (jl[..., None] ==
-           jnp.arange(rows.shape[1], dtype=jnp.int32)[None, None, :])
-    win = jnp.einsum("tpk,tkf->tpf", sel.astype(dtype), rows,
-                     precision=jax.lax.Precision.HIGHEST)   # (T, P, 4)
-    c = win[..., 0:3].reshape(-1, 3)
-    r = win[..., 3].reshape(-1)
-    r = jnp.where(is_sph, r, 1.0)
+    if n_sph:
+        table = jnp.concatenate([scene.spheres.center,
+                                 scene.spheres.radius[:, None]], -1)  # (N,4)
+        rows = _gather_tile_rows(table, aux.p_idx)          # (T, Kp, 4)
+        sel = (aux.j_local[..., None] ==
+               jnp.arange(rows.shape[1], dtype=jnp.int32)[None, None, :])
+        win = jnp.einsum("tpk,tkf->tpf", sel.astype(dtype), rows,
+                         precision=hi)                      # (T, P, 4)
+        c = win[..., 0:3].reshape(-1, 3)
+        r = win[..., 3].reshape(-1)
+        r = jnp.where(is_sph, r, 1.0)
+    else:
+        c = jnp.zeros_like(origins)
+        r = jnp.ones(r_total, dtype)
+
+    # winner box params via the (T, Kb) survivor lists
+    if n_box:
+        rot_table, rot_vjp = jax.vjp(
+            lambda a: euler_rotation_3x3b(a).reshape(n_box, 9),
+            scene.boxes.angles)
+        btab = jnp.concatenate([scene.boxes.mins, scene.boxes.maxs,
+                                scene.boxes.position, rot_table],
+                               axis=-1)                     # (M, 18)
+        browst = _gather_tile_rows(btab, aux.b_idx)         # (T, Kb, 18)
+        selb = (aux.jb_local[..., None] ==
+                jnp.arange(browst.shape[1], dtype=jnp.int32)[None, None, :])
+        winb = jnp.einsum("tpk,tkf->tpf", selb.astype(dtype), browst,
+                          precision=hi).reshape(-1, 18)     # (R, 18)
+        box_params = (winb[:, 0:3], winb[:, 3:6], winb[:, 6:9],
+                      winb[:, 9:18].reshape(-1, 3, 3))
+    else:
+        box_params = None
 
     if n_pln:
-        pid = jnp.clip(idx - n_sph, 0, n_pln - 1)
+        pid = jnp.clip(idx - n_sph - n_box, 0, n_pln - 1)
         pn = scene.planes.normal[pid]
         poff = scene.planes.offset[pid]
     else:
@@ -529,11 +824,22 @@ def _culled_bwd(tile_p, kp, ks, shadow_lights, hot_m, res, g):
     gp_direct_o = jnp.where(live[:, None], 0.0, gp)
     gp = jnp.where(live[:, None], gp, 0.0)
 
-    _, vjp_fn = jax.vjp(
-        lambda c_, r_, pn_, poff_, o_, d_: _winner_recompute(
-            c_, r_, pn_, poff_, o_, d_, is_sph, hit.inside, hm),
-        c, r, pn, poff, origins, dirs)
-    gc, gr, gpn, gpoff, go, gd = vjp_fn((gt, gp, gn))
+    if n_box:
+        def replay(c_, r_, pn_, poff_, bm_, bx_, bp_, brot_, o_, d_):
+            return _winner_recompute(c_, r_, pn_, poff_, o_, d_, is_sph,
+                                     hit.inside, hm,
+                                     box_params=(bm_, bx_, bp_, brot_),
+                                     is_box=is_box)
+        _, vjp_fn = jax.vjp(replay, c, r, pn, poff, *box_params,
+                            origins, dirs)
+        gc, gr, gpn, gpoff, gbm, gbx, gbp, gbrot, go, gd = \
+            vjp_fn((gt, gp, gn))
+    else:
+        _, vjp_fn = jax.vjp(
+            lambda c_, r_, pn_, poff_, o_, d_: _winner_recompute(
+                c_, r_, pn_, poff_, o_, d_, is_sph, hit.inside, hm),
+            c, r, pn, poff, origins, dirs)
+        gc, gr, gpn, gpoff, go, gd = vjp_fn((gt, gp, gn))
     go = go + gp_direct_o
 
     zero_like = functools.partial(
@@ -548,18 +854,34 @@ def _culled_bwd(tile_p, kp, ks, shadow_lights, hot_m, res, g):
         contrib_t = contrib.reshape(t_tiles, tile_p, 4)
         # stage 1: rays -> tile survivor slots (per-tile one-hot transpose)
         g_rows = jnp.einsum("tpk,tpf->tkf", sel.astype(dtype), contrib_t,
-                            precision=jax.lax.Precision.HIGHEST)  # (T,Kp,4)
+                            precision=hi)                   # (T, Kp, 4)
         # stage 2: (T*Kp) slots -> N objects (small one-hot scatter)
         flat_idx = aux.p_idx.reshape(-1)
         oh = (flat_idx[:, None]
               == jnp.arange(n_sph, dtype=jnp.int32)[None, :]).astype(dtype)
         g_sph = jnp.matmul(oh.T, g_rows.reshape(-1, 4),
-                           precision=jax.lax.Precision.HIGHEST)   # (N, 4)
+                           precision=hi)                    # (N, 4)
         g_scene = g_scene._replace(spheres=g_scene.spheres._replace(
             center=g_sph[:, :3], radius=g_sph[:, 3]))
+    if n_box:
+        g_brow = jnp.concatenate(
+            [jnp.where(is_box[:, None], g_, 0.0)
+             for g_ in (gbm, gbx, gbp, gbrot.reshape(-1, 9))], axis=-1)
+        g_rows_b = jnp.einsum("tpk,tpf->tkf", selb.astype(dtype),
+                              g_brow.reshape(t_tiles, tile_p, 18),
+                              precision=hi)                 # (T, Kb, 18)
+        flat_b = aux.b_idx.reshape(-1)
+        ohb = (flat_b[:, None]
+               == jnp.arange(n_box, dtype=jnp.int32)[None, :]).astype(dtype)
+        g_box = jnp.matmul(ohb.T, g_rows_b.reshape(-1, 18),
+                           precision=hi)                    # (M, 18)
+        (g_angles,) = rot_vjp(g_box[:, 9:18])
+        g_scene = g_scene._replace(boxes=g_scene.boxes._replace(
+            mins=g_box[:, 0:3], maxs=g_box[:, 3:6],
+            position=g_box[:, 6:9], angles=g_angles))
     if n_pln:
         from openglraytracer_tpu.ops.gathers import scatter_add_rows
-        pln_mask = hm & (~is_sph)
+        pln_mask = hm & (~is_sph) & (~is_box)
         gpn = jnp.where(pln_mask[:, None], gpn, 0.0)
         gpoff = jnp.where(pln_mask, gpoff, 0.0)
         g_rows = scatter_add_rows(
@@ -579,7 +901,8 @@ culled_geometry_op.defvjp(_culled_fwd, _culled_bwd)
 
 def cull_counts(scene: Scene, camera, height: int, width: int,
                 tile=(32, 32), shadow_lights: tuple | None = None):
-    """Per-tile survivor counts (primary (T,), shadow (L, T)) for K sizing.
+    """Per-tile survivor counts for K sizing: (primary (T,), shadow (L, T),
+    box-primary (T,), box-shadow (L, T)).
 
     Two cheap jitted passes: (1) primary-cone mask sums (no narrow phase),
     (2) a narrow-phase pass at the just-measured kp — shadows disabled — to
@@ -593,18 +916,30 @@ def cull_counts(scene: Scene, camera, height: int, width: int,
     o = tile_image(origins, th, tw).reshape(-1, 3)
     d = tile_image(dirs, th, tw).reshape(-1, 3)
     tile_p = th * tw
-    n = max(int(scene.spheres.count), 1)
+    n_sph = int(scene.spheres.count)
+    n_box = int(scene.boxes.count)
+    n = max(n_sph, 1)
     n_lights = scene.lights.count
+    t_tiles = o.shape[0] // tile_p
 
     @jax.jit
     def primary_counts(scene, o, d):
         dirs_t = d.reshape(-1, tile_p, 3)
         axis, cos_half = tile_cones(dirs_t)
-        mask = sphere_vs_cone(o[0], axis, cos_half, scene.spheres.center,
-                              scene.spheres.radius)
-        return jnp.sum(mask, axis=-1, dtype=jnp.int32)
+        zero = jnp.zeros((t_tiles,), jnp.int32)
+        pc = zero
+        if n_sph:
+            mask = sphere_vs_cone(o[0], axis, cos_half, scene.spheres.center,
+                                  scene.spheres.radius)
+            pc = jnp.sum(mask, axis=-1, dtype=jnp.int32)
+        pb = zero
+        if n_box:
+            bc, br = box_bounding_spheres(scene)
+            pb = jnp.sum(sphere_vs_cone(o[0], axis, cos_half, bc, br),
+                         axis=-1, dtype=jnp.int32)
+        return pc, pb
 
-    p_count = primary_counts(scene, o, d)
+    p_count, pb_count = primary_counts(scene, o, d)
     kp0 = min(n, max(8, int(jnp.max(p_count))))
 
     no_shadows = tuple([False] * n_lights)
@@ -614,17 +949,34 @@ def cull_counts(scene: Scene, camera, height: int, width: int,
         hit, _, _ = culled_geometry(scene, o, d, tile_p, kp0, 8, no_shadows)
         shadow_org = hit.p + hit.n * SHADOW_EPS
         cols = []
+        bcols = []
+        if n_box:
+            bc, br = box_bounding_spheres(scene)
+        zero = jnp.zeros(p_count.shape, jnp.int32)
         for li in range(n_lights):
             if shadow_lights is not None and not shadow_lights[li]:
-                cols.append(jnp.zeros(p_count.shape, jnp.int32))
+                cols.append(zero)
+                bcols.append(zero)
                 continue
-            smask = shadow_cull_mask(scene, shadow_org, hit.hit, tile_p,
-                                     scene.lights.position[li])
-            cols.append(jnp.sum(smask, axis=-1, dtype=jnp.int32))
-        return (jnp.stack(cols) if cols
-                else jnp.zeros((0,) + p_count.shape, jnp.int32))
+            lpos = scene.lights.position[li]
+            if n_sph:
+                smask = shadow_cull_mask(scene, shadow_org, hit.hit, tile_p,
+                                         lpos)
+                cols.append(jnp.sum(smask, axis=-1, dtype=jnp.int32))
+            else:
+                cols.append(zero)
+            if n_box:
+                bmask = shadow_cull_mask(scene, shadow_org, hit.hit, tile_p,
+                                         lpos, centers=bc, radii=br)
+                bcols.append(jnp.sum(bmask, axis=-1, dtype=jnp.int32))
+            else:
+                bcols.append(zero)
+        empty = jnp.zeros((0,) + p_count.shape, jnp.int32)
+        return (jnp.stack(cols) if cols else empty,
+                jnp.stack(bcols) if bcols else empty)
 
-    return p_count, shadow_counts(scene, o, d)
+    s_count, sb_count = shadow_counts(scene, o, d)
+    return p_count, s_count, pb_count, sb_count
 
 
 def suggest_cull_sizes(scene: Scene, camera, height: int, width: int,
@@ -635,12 +987,14 @@ def suggest_cull_sizes(scene: Scene, camera, height: int, width: int,
     up to a multiple of 8 and clipped to N. Headroom matters when the scene
     will move (inverse-rendering fits). Lights disabled by shadow_lights
     don't contribute to ks (ambient-only lights would otherwise force
-    ks = N — their apex sits inside the scene)."""
+    ks = N — their apex sits inside the scene). Sphere sizes only — box
+    survivor lists default to dense (complete); use suggest_cull_config for
+    box-aware specs."""
     if shadow_lights is None:
         from openglraytracer_tpu.ops.shading import static_shadow_mask
         shadow_lights = static_shadow_mask(scene)
-    p_count, s_count = cull_counts(scene, camera, height, width, tile,
-                                   shadow_lights)
+    p_count, s_count, _, _ = cull_counts(scene, camera, height, width, tile,
+                                         shadow_lights)
     n = int(scene.spheres.count)
 
     def size(c):
@@ -654,16 +1008,19 @@ def suggest_cull_sizes(scene: Scene, camera, height: int, width: int,
 def check_cull_overflow(scene: Scene, camera, height: int, width: int,
                         cull, shadow_lights: tuple | None = None):
     """Recount survivors for the CURRENT scene against a fixed cull spec
-    ``((th, tw), kp, ks[, hot_m])`` and report dropped-object risk.
+    ``((th, tw), kp, ks[, hot_m[, kb, ksb]])`` and report dropped-object
+    risk.
 
     Returns None when the spec still covers every tile, else a dict with the
-    observed maxima and a re-suggested (kp, ks). Used by the fit loop: a
-    moving scene can outgrow the once-computed K — accel.py's contract is
-    that overflow is never silent (ADVICE r1 #3)."""
-    (th, tw), kp, ks = cull[:3]
-    hot_m = cull[3] if len(cull) > 3 else 0
-    p_count, s_count = cull_counts(scene, camera, height, width, (th, tw),
-                                   shadow_lights)
+    observed maxima and re-suggested sizes. Used by the fit loop: a moving
+    scene can outgrow the once-computed K — accel.py's contract is that
+    overflow is never silent (ADVICE r1 #3)."""
+    (th, tw), kp, ks, hot_m, kb, ksb = parse_cull_spec(cull)
+    p_count, s_count, pb_count, sb_count = cull_counts(
+        scene, camera, height, width, (th, tw), shadow_lights)
+    n_box = int(scene.boxes.count)
+    kb = min(kb, n_box) if kb > 0 else n_box
+    ksb = min(ksb, n_box) if ksb > 0 else n_box
     max_p = int(jnp.max(p_count))
     if s_count.size:
         counts = np.sort(np.asarray(s_count), axis=-1)[:, ::-1]  # (L,T) desc
@@ -673,36 +1030,55 @@ def check_cull_overflow(scene: Scene, camera, height: int, width: int,
             if hot_m < counts.shape[-1] else 0
     else:
         cold_max = 0
-    if max_p <= kp and cold_max <= ks:
+    max_pb = int(jnp.max(pb_count)) if n_box else 0
+    max_sb = int(np.max(np.asarray(sb_count))) \
+        if (n_box and sb_count.size) else 0
+    if max_p <= kp and cold_max <= ks and max_pb <= kb and max_sb <= ksb:
         return None
     return {"max_primary": max_p, "kp": kp,
             "max_shadow_cold": cold_max, "ks": ks,
+            "max_box_primary": max_pb, "kb": kb,
+            "max_box_shadow": max_sb, "ksb": ksb,
             "suggest_kp": max(kp, -(-max_p // 8) * 8),
-            "suggest_ks": max(ks, -(-cold_max // 8) * 8)}
+            "suggest_ks": max(ks, -(-cold_max // 8) * 8),
+            "suggest_kb": max(kb, max_pb),
+            "suggest_ksb": max(ksb, max_sb)}
 
 
 def suggest_cull_config(scene: Scene, camera, height: int, width: int,
                         tile=(32, 32), headroom: float = 1.5,
                         min_k: int = 8,
                         shadow_lights: tuple | None = None):
-    """Full cull spec ((th, tw), kp, ks, hot_m) with the hot-tile shadow
-    strategy: sweep M over a small grid and pick the (ks(M), M) minimizing
-    the modeled narrow-phase cost T*ks + M*N per light — ks(M) is the
-    (M+1)-th largest per-tile occluder count, i.e. the max over the COLD
-    tiles, so cold tiles never drop occluders at suggestion time."""
+    """Full cull spec — ((th, tw), kp, ks, hot_m) for sphere/plane scenes,
+    ((th, tw), kp, ks, hot_m, kb, ksb) when the scene has OBBs — with the
+    hot-tile shadow strategy: sweep M over a small grid and pick the
+    (ks(M), M) minimizing the modeled narrow-phase cost T*ks + M*N per light
+    — ks(M) is the (M+1)-th largest per-tile occluder count, i.e. the max
+    over the COLD tiles, so cold tiles never drop occluders at suggestion
+    time. Box sizes are max-count based (box populations are small)."""
     if shadow_lights is None:
         from openglraytracer_tpu.ops.shading import static_shadow_mask
         shadow_lights = static_shadow_mask(scene)
-    p_count, s_count = cull_counts(scene, camera, height, width, tile,
-                                   shadow_lights)
+    p_count, s_count, pb_count, sb_count = cull_counts(
+        scene, camera, height, width, tile, shadow_lights)
     n = int(scene.spheres.count)
+    n_box = int(scene.boxes.count)
 
     def rounded(k):
         return max(min_k, min(n, -(-int(np.ceil(k * headroom)) // 8) * 8))
 
-    kp = rounded(int(jnp.max(p_count)))
+    def box_spec():
+        if not n_box:
+            return ()
+        kb = max(1, min(n_box, int(np.ceil(int(jnp.max(pb_count))
+                                           * headroom))))
+        max_sb = int(np.max(np.asarray(sb_count))) if sb_count.size else 0
+        ksb = max(1, min(n_box, int(np.ceil(max_sb * headroom))))
+        return (kb, ksb)
+
+    kp = rounded(int(jnp.max(p_count))) if n else min_k
     if not s_count.size:
-        return tile, kp, min_k, 0
+        return (tile, kp, min_k, 0) + box_spec()
 
     counts = np.sort(np.asarray(s_count), axis=-1)[:, ::-1]  # (L, T) desc
     t_tiles = counts.shape[-1]
@@ -718,4 +1094,6 @@ def suggest_cull_config(scene: Scene, camera, height: int, width: int,
         if best is None or cost < best[0]:
             best = (cost, ks_m, m)
     _, ks, hot_m = best
-    return tile, kp, ks, hot_m
+    if n == 0:
+        hot_m = 0                       # the hot pass is a sphere-only path
+    return (tile, kp, ks, hot_m) + box_spec()

@@ -119,14 +119,14 @@ def trace_rays_fast(scene: Scene, origins, dirs, depth: int = 0,
     mat_rows = None
     if engine == "culled":
         from openglraytracer_tpu.ops.accel import (culled_geometry_op,
-                                                   culled_material_rows)
+                                                   culled_material_rows,
+                                                   parse_cull_spec)
         assert cull is not None, \
-            "engine='culled' needs cull=(tile_p, kp, ks[, hot_m])"
-        tile_p, kp, ks = cull[:3]
-        hot_m = cull[3] if len(cull) > 3 else 0
+            "engine='culled' needs cull=(tile_p, kp, ks[, hot_m[, kb, ksb]])"
+        tile_p, kp, ks, hot_m, kb, ksb = parse_cull_spec(cull)
         hit, occ, aux = culled_geometry_op(scene, origins, dirs,
                                            tile_p, kp, ks, shadow_lights,
-                                           hot_m)
+                                           hot_m, kb, ksb)
         mat_rows = culled_material_rows(scene, hit, aux, tile_p)
         child_engine = "xla"
     else:
@@ -359,20 +359,20 @@ def _render_jit(scene: Scene, camera: Camera, height: int, width: int,
     origins, dirs = generate_rays(camera, height, width)
 
     if engine == "culled":
-        from openglraytracer_tpu.ops.accel import tile_image, untile_image
+        from openglraytracer_tpu.ops.accel import (parse_cull_spec,
+                                                   tile_image, untile_image)
         assert cull is not None, \
-            "engine='culled' needs cull=((th, tw), kp, ks[, hot_m])"
+            "engine='culled' needs cull=((th, tw), kp, ks[, hot_m[, kb, ksb]])"
         assert row_block is None, \
             "row_block is not supported with engine='culled' (the culled " \
             "path is already tile-blocked); drop --row-block or use " \
             "engine='xla'"
-        (th, tw), kp, ks = cull[:3]
-        hot_m = cull[3] if len(cull) > 3 else 0
+        (th, tw), kp, ks, hot_m, kb, ksb = parse_cull_spec(cull)
         o = tile_image(origins, th, tw).reshape(-1, 3)
         d = tile_image(dirs, th, tw).reshape(-1, 3)
         colors = trace_rays_fast(scene, o, d, depth, chunk_size=chunk_size,
                                  engine="culled",
-                                 cull=(th * tw, kp, ks, hot_m),
+                                 cull=(th * tw, kp, ks, hot_m, kb, ksb),
                                  shadow_lights=shadow_lights)
         return untile_image(colors, height, width, th, tw)
 

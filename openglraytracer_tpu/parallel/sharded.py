@@ -55,19 +55,19 @@ def render_sharded(scene: Scene, camera: Camera, height: int, width: int,
         f"width {width} not divisible by mesh dy={mesh.shape[AXIS_Y]}"
 
     if engine == "culled":
-        from openglraytracer_tpu.ops.accel import tile_image, untile_image
+        from openglraytracer_tpu.ops.accel import (parse_cull_spec,
+                                                   tile_image, untile_image)
         from openglraytracer_tpu.ops.render import trace_rays_fast
         assert cull is not None, \
-            "engine='culled' needs cull=((th, tw), kp, ks[, hot_m])"
-        (cth, ctw), kp, ks = cull[:3]
-        hot_m = cull[3] if len(cull) > 3 else 0
+            "engine='culled' needs cull=((th, tw), kp, ks[, hot_m[, kb, ksb]])"
+        (cth, ctw), kp, ks, hot_m, kb, ksb = parse_cull_spec(cull)
 
         def tile_fn(scene_rep, o_tile, d_tile):
             o = tile_image(o_tile, cth, ctw).reshape(-1, 3)
             d = tile_image(d_tile, cth, ctw).reshape(-1, 3)
             colors = trace_rays_fast(scene_rep, o, d, depth,
                                      chunk_size=chunk_size, engine="culled",
-                                     cull=(cth * ctw, kp, ks, hot_m),
+                                     cull=(cth * ctw, kp, ks, hot_m, kb, ksb),
                                      shadow_lights=shadow_lights)
             return untile_image(colors, o_tile.shape[0], o_tile.shape[1],
                                 cth, ctw)
