@@ -87,3 +87,39 @@ def test_extract_apply_roundtrip():
                                np.asarray(scene.spheres.center) + 1.0)
     np.testing.assert_allclose(np.asarray(s2.lights.position),
                                np.asarray(scene.lights.position) + 1.0)
+
+
+def test_fit_recovers_box_orientation():
+    """Inverse rendering on an OBB: perturb a box's Euler angles and fit
+    them back through the analytic box VJP (ops/geometry.py's slab replay +
+    per-box angle chain) — the capability the reference's GLSL never had
+    (its boxes are raytrace_compute.glsl:261-320).
+
+    Angles, not position: rotating an OBB changes every interior pixel's
+    normal (strong local gradients), whereas translating a flat-faced box
+    is almost purely a silhouette change, which straight-through visibility
+    gradients deliberately don't capture (the documented contract; the fast
+    VJP and jax autodiff agree it is ~0)."""
+    from openglraytracer_tpu.models.scene import Boxes, empty_spheres
+    from openglraytracer_tpu.models.builders import single_sphere_scene
+
+    base, cam = single_sphere_scene()
+    boxes = Boxes(mins=jnp.asarray([[-1.0, -1.0, -1.0]], jnp.float32),
+                  maxs=jnp.asarray([[1.0, 1.0, 1.0]], jnp.float32),
+                  position=jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32),
+                  angles=jnp.asarray([[0.0, 0.0, 30.0]], jnp.float32),
+                  material_id=base.spheres.material_id[:1])
+    scene_true = base._replace(spheres=empty_spheres(), boxes=boxes)
+    h = w = 48
+    target = render(scene_true, cam, h, w)
+    scene_init = scene_true._replace(
+        boxes=boxes._replace(
+            angles=boxes.angles
+            + jnp.asarray([[4.0, -5.0, 8.0]], jnp.float32)))
+    cfg = FitConfig(height=h, width=w, steps=200, learning_rate=0.5,
+                    log_every=50, trainable=("boxes.angles",))
+    fitted, losses = fit(scene_init, target, cam, cfg)
+    assert losses[-1][1] < losses[0][1] / 3.0, losses
+    ang_err = np.abs(np.asarray(fitted.boxes.angles)
+                     - np.asarray(boxes.angles)).max()
+    assert ang_err < 3.0, f"angles off by {ang_err} deg after the fit"
