@@ -135,6 +135,7 @@ def cmd_animate(args):
                                    (t, t), headroom=2.0)
         print(f"cull: {cull}")
 
+    frames = []
     for i in range(args.frames):
         t = args.start_time + i / args.fps
         scene, cam = reference_frame(t)
@@ -149,7 +150,19 @@ def cmd_animate(args):
                      engine=args.engine, cull=cull)
         path = args.out_pattern.format(i)
         save_png(img, path)
+        if args.gif:
+            from openglraytracer_tpu.utils.image import to_uint8
+            frames.append(to_uint8(img))
         print(f"frame {i}: t={t:.3f}s -> {path}")
+
+    if args.gif and frames:
+        # the closest artifact to the reference's live GLFW window
+        # (main.cpp:81-86 swap loop): the rendered sequence as one motion file
+        from PIL import Image
+        ims = [Image.fromarray(f) for f in frames]
+        ims[0].save(args.gif, save_all=True, append_images=ims[1:],
+                    duration=int(1000 / args.fps), loop=0)
+        print(f"wrote {args.gif} ({len(ims)} frames @ {args.fps:g} fps)")
 
 
 def cmd_fit(args):
@@ -310,6 +323,8 @@ def main(argv=None):
     a.add_argument("--cull-tile", type=int, default=8,
                    help="pixel tile side for engine=culled")
     a.add_argument("--out-pattern", default="frame_{:04d}.png")
+    a.add_argument("--gif", default=None,
+                   help="also assemble the frames into an animated GIF")
     a.set_defaults(fn=cmd_animate)
 
     f = sub.add_parser("fit", help="inverse-rendering fit")
