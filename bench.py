@@ -100,7 +100,7 @@ def _chained_step(step, params, scene, target, k: int = 10,
 
 
 def bench_config(name: str, scene, cam, height: int, width: int, depth: int,
-                 engine: str, k: int = 10) -> dict:
+                 engine: str, k: int = 10, tile_side: int = 64) -> dict:
     from openglraytracer_tpu.ops.accel import (parse_cull_spec,
                                                suggest_cull_config,
                                                tile_image)
@@ -116,7 +116,10 @@ def bench_config(name: str, scene, cam, height: int, width: int, depth: int,
     cull = None
     origins, dirs = generate_rays(cam, height, width)
     if engine == "culled":
-        tile = (64, 64)
+        # per-config tile side, measured on v5e: smaller tiles tighten the
+        # cones (fewer survivors/tile) but multiply per-tile fixed costs;
+        # 64 wins at 64 objects, 32 wins at 4096 (kp 232 -> 72, +25%)
+        tile = (tile_side, tile_side)
         spec = suggest_cull_config(scene, cam, height, width, tile,
                                    shadow_lights=shadow_mask)
         _, kp, ks, hot_m, kb, ksb = parse_cull_spec(spec)
@@ -186,18 +189,18 @@ def main():
     # (engine, pipelined window size) per config; culled where the broad
     # phase pays (64+ objects), xla for the tiny scenes and the OBB world.
     plan = {
-        "c1_sphere_plane": ("xla", 20),
-        "c2_eight_spheres": ("xla", 20),
-        "c3_grid64": ("culled", 10),
-        "c4_mirror": ("culled", 5),
-        "c5_grid4096": ("culled", 5),
+        "c1_sphere_plane": ("xla", 20, 64),
+        "c2_eight_spheres": ("xla", 20, 64),
+        "c3_grid64": ("culled", 10, 64),
+        "c4_mirror": ("culled", 5, 64),
+        "c5_grid4096": ("culled", 5, 32),
     }
     results = {}
-    for name, (engine, k) in plan.items():
+    for name, (engine, k, tile_side) in plan.items():
         builder, h, w, depth = BENCH_CONFIGS[name]
         scene, cam = builder()
         results[name] = bench_config(name, scene, cam, h, w, depth, engine,
-                                     k=k)
+                                     k=k, tile_side=tile_side)
 
     # Pallas-kernel engine row on the north-star config (VERDICT r1 #5).
     scene, cam = BENCH_CONFIGS["c3_grid64"][0]()
