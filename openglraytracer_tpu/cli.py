@@ -146,6 +146,11 @@ def cmd_animate(args):
                 print(f"frame {i}: cull overflow {ovf} — resizing")
                 cull = suggest_cull_config(scene, cam, args.height,
                                            args.width, cull[0], headroom=2.0)
+                # round K's up to multiples of 16: each distinct spec is a
+                # fresh jit compile, so coarser sizes bound recompile thrash
+                # when a moving scene oscillates around a threshold (ADVICE r2)
+                cull = (cull[0],) + tuple(-(-k // 16) * 16 if k else k
+                                          for k in cull[1:])
         img = render(scene, cam, args.height, args.width, depth=args.depth,
                      engine=args.engine, cull=cull)
         path = args.out_pattern.format(i)
@@ -277,7 +282,10 @@ def cmd_scale(args):
             json.dump(rows, f, indent=1)
         print(f"wrote {args.json}")
     worst = min(r["efficiency"] for r in rows)
-    print(f"worst-case efficiency: {worst:.1%} "
+    base_n = rows[0]["devices"]
+    rel = "1 chip" if base_n == 1 else \
+        f"{base_n} devices — NOT the 1-chip baseline BASELINE.md defines"
+    print(f"worst-case efficiency: {worst:.1%} relative to {rel} "
           f"(target >= 85%, BASELINE.md)")
 
 

@@ -28,9 +28,11 @@ O(1) per pixel and fuses fine in XLA; keeping the O(N) loops here captures
 All primitive types are supported — including the reference's own OBB demo
 world (raytrace_compute.glsl:261-320).
 
-The backward pass is a custom VJP that replays the XLA path's autodiff
-(rematerialized from the inputs), so `trace_rays_fused` is exactly as
-differentiable as the XLA path while the forward runs at kernel speed.
+``pallas_geometry`` itself defines NO VJP — do not differentiate through it
+directly. Differentiation happens one level up: ``ops/geometry.geometry_op``
+wraps this forward with the analytic winner-replay VJP (geometry.py:56-61),
+so engine='pallas' is exactly as differentiable as the XLA path while the
+forward runs at kernel speed.
 """
 
 from __future__ import annotations

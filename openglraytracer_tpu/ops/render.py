@@ -100,7 +100,8 @@ def trace_rays(scene: Scene, origins, dirs, depth: int = 0,
 def trace_rays_fast(scene: Scene, origins, dirs, depth: int = 0,
                     chunk_size: int = 512, engine: str = "xla",
                     cull: tuple | None = None,
-                    shadow_lights: tuple | None = None) -> jnp.ndarray:
+                    shadow_lights: tuple | None = None,
+                    with_cull_stats: bool = False):
     """Trace with the analytic O(rays) geometry VJP (ops/geometry.py):
     forward identical to trace_rays; backward gathers each ray's winning
     object, replays one candidate computation, and scatter-adds — instead of
@@ -112,13 +113,19 @@ def trace_rays_fast(scene: Scene, origins, dirs, depth: int = 0,
     (tile_p, kp, ks) and rays in tile-major order with a shared origin).
     Bounce children of a culled trace fall back to 'xla' (bounce rays have
     no shared origin to build cones from).
+
+    with_cull_stats: also return a device int32 scalar counting (tile, list)
+    slots that overflowed their static K this trace (0 for exact engines) —
+    lets a training step observe dropped-object events EVERY step.
     """
     from openglraytracer_tpu.ops.geometry import geometry_op
     from openglraytracer_tpu.ops.shading import phong_shade_lit
 
     mat_rows = None
+    ovf = jnp.zeros((), jnp.int32)
     if engine == "culled":
-        from openglraytracer_tpu.ops.accel import (culled_geometry_op,
+        from openglraytracer_tpu.ops.accel import (cull_overflow_count,
+                                                   culled_geometry_op,
                                                    culled_material_rows,
                                                    parse_cull_spec)
         assert cull is not None, \
@@ -128,6 +135,7 @@ def trace_rays_fast(scene: Scene, origins, dirs, depth: int = 0,
                                            tile_p, kp, ks, shadow_lights,
                                            hot_m, kb, ksb)
         mat_rows = culled_material_rows(scene, hit, aux, tile_p)
+        ovf = cull_overflow_count(aux)
         child_engine = "xla"
     else:
         hit, occ = geometry_op(scene, origins, dirs, engine, chunk_size,
@@ -141,7 +149,8 @@ def trace_rays_fast(scene: Scene, origins, dirs, depth: int = 0,
                                              chunk_size=chunk_size,
                                              engine=child_engine,
                                              shadow_lights=shadow_lights))
-    return jnp.where(hit.hit[:, None], color, 0.0)
+    color = jnp.where(hit.hit[:, None], color, 0.0)
+    return (color, ovf) if with_cull_stats else color
 
 
 def pick_tracer(scene: Scene, engine: str = "auto",
@@ -318,7 +327,8 @@ def render(scene: Scene, camera: Camera, height: int, width: int,
            mirror_only: bool = False, engine: str = "auto",
            cull: tuple | None = None,
            shadow_lights: tuple | None = None,
-           bounce: str = "tree") -> jnp.ndarray:
+           bounce: str = "tree",
+           with_cull_stats: bool = False):
     """Render an (H, W, 3) image. Pure function of (scene, camera) — the
     reference's statelessness (everything recomputed from `time` each frame,
     SURVEY.md §5 checkpoint entry) preserved by construction.
@@ -337,25 +347,30 @@ def render(scene: Scene, camera: Camera, height: int, width: int,
     bounce: 'tree' (static unroll, O(2^depth) live intermediates) or
     'stack' (DFS-scan stack machine, O(depth) memory — use for depth >= 3
     with refraction; engines xla/pallas only).
+
+    with_cull_stats: return (image, overflow) where overflow is a device
+    int32 scalar counting culled-engine K overflows (0 for exact engines).
     """
     if shadow_lights is None:
         from openglraytracer_tpu.ops.shading import static_shadow_mask
         shadow_lights = static_shadow_mask(scene)
-    return _render_jit(scene, camera, height, width, depth, chunk_size,
-                       remat, row_block, mirror_only, engine, cull,
-                       shadow_lights, bounce)
+    out = _render_jit(scene, camera, height, width, depth, chunk_size,
+                      remat, row_block, mirror_only, engine, cull,
+                      shadow_lights, bounce, with_cull_stats)
+    return out
 
 
 @partial(jax.jit, static_argnames=("height", "width", "depth", "chunk_size",
                                    "remat", "row_block", "mirror_only",
                                    "engine", "cull", "shadow_lights",
-                                   "bounce"))
+                                   "bounce", "with_cull_stats"))
 def _render_jit(scene: Scene, camera: Camera, height: int, width: int,
                 depth: int, chunk_size: int, remat: bool,
                 row_block: int | None, mirror_only: bool, engine: str,
                 cull: tuple | None,
                 shadow_lights: tuple | None,
-                bounce: str = "tree") -> jnp.ndarray:
+                bounce: str = "tree",
+                with_cull_stats: bool = False):
     origins, dirs = generate_rays(camera, height, width)
 
     if engine == "culled":
@@ -363,6 +378,11 @@ def _render_jit(scene: Scene, camera: Camera, height: int, width: int,
                                                    tile_image, untile_image)
         assert cull is not None, \
             "engine='culled' needs cull=((th, tw), kp, ks[, hot_m[, kb, ksb]])"
+        assert bounce != "stack", \
+            "bounce='stack' is not supported with engine='culled' (culled " \
+            "primaries use the tree unroll; requesting the O(depth)-memory " \
+            "stack engine here would silently get O(2^depth) memory — use " \
+            "engine='xla' or 'pallas' for deep recursion)"
         assert row_block is None, \
             "row_block is not supported with engine='culled' (the culled " \
             "path is already tile-blocked); drop --row-block or use " \
@@ -370,11 +390,15 @@ def _render_jit(scene: Scene, camera: Camera, height: int, width: int,
         (th, tw), kp, ks, hot_m, kb, ksb = parse_cull_spec(cull)
         o = tile_image(origins, th, tw).reshape(-1, 3)
         d = tile_image(dirs, th, tw).reshape(-1, 3)
-        colors = trace_rays_fast(scene, o, d, depth, chunk_size=chunk_size,
-                                 engine="culled",
-                                 cull=(th * tw, kp, ks, hot_m, kb, ksb),
-                                 shadow_lights=shadow_lights)
-        return untile_image(colors, height, width, th, tw)
+        out = trace_rays_fast(scene, o, d, depth, chunk_size=chunk_size,
+                              engine="culled",
+                              cull=(th * tw, kp, ks, hot_m, kb, ksb),
+                              shadow_lights=shadow_lights,
+                              with_cull_stats=with_cull_stats)
+        if with_cull_stats:
+            colors, ovf = out
+            return untile_image(colors, height, width, th, tw), ovf
+        return untile_image(out, height, width, th, tw)
 
     o = origins.reshape(-1, 3)
     d = dirs.reshape(-1, 3)
@@ -404,4 +428,7 @@ def _render_jit(scene: Scene, camera: Camera, height: int, width: int,
             (ob, db))
         colors = colors.reshape(-1, 3)
 
-    return colors.reshape(height, width, 3)
+    img = colors.reshape(height, width, 3)
+    if with_cull_stats:   # exact engines never drop objects
+        return img, jnp.zeros((), jnp.int32)
+    return img

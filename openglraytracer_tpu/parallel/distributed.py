@@ -20,6 +20,13 @@ log = logging.getLogger(__name__)
 
 
 def _already_initialized() -> bool:
+    # Prefer the public API (ADVICE r2: the private global_state moved once
+    # already); fall back to the private attribute, then to process_count.
+    if hasattr(jax.distributed, "is_initialized"):
+        try:
+            return bool(jax.distributed.is_initialized())
+        except Exception:
+            pass
     try:
         from jax._src import distributed
         return distributed.global_state.client is not None

@@ -76,16 +76,16 @@ def _time_step(scene, cam, height, width, depth, mesh, engine, warmup, iters):
     target = jax.device_put(jnp.zeros((height, width, 3), jnp.float32),
                             image_sharding(mesh))
 
-    p, o, loss = step_fn(params, opt_state, scene, target)
+    p, o, loss, _ = step_fn(params, opt_state, scene, target)
     jax.block_until_ready(loss)
     for _ in range(warmup):
-        p, o, loss = step_fn(p, o, scene, target)
+        p, o, loss, _ = step_fn(p, o, scene, target)
     jax.block_until_ready(loss)
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(iters):  # chained: step k consumes step k-1's params
-            p, o, loss = step_fn(p, o, scene, target)
+            p, o, loss, _ = step_fn(p, o, scene, target)
         jax.block_until_ready(loss)
         best = min(best, (time.perf_counter() - t0) / iters)
     return best
@@ -135,6 +135,10 @@ def measure_scaling(scene: Scene, cam: Camera, height: int, width: int,
     per_dev_1 = rows[0]["mrays_per_s"] / rows[0]["devices"]
     for r in rows:
         r["efficiency"] = (r["mrays_per_s"] / r["devices"]) / per_dev_1
+        # efficiency is relative to the smallest measured count; BASELINE.md
+        # defines it vs 1 chip — label the baseline so a [4, 8] sweep can't
+        # masquerade as true 1-chip scaling (ADVICE r2)
+        r["efficiency_baseline_devices"] = rows[0]["devices"]
     return rows
 
 

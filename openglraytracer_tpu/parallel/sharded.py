@@ -31,12 +31,13 @@ from openglraytracer_tpu.parallel.mesh import AXIS_X, AXIS_Y
 @partial(jax.jit,
          static_argnames=("height", "width", "depth", "chunk_size", "remat",
                           "mirror_only", "mesh", "engine", "cull",
-                          "shadow_lights"))
+                          "shadow_lights", "with_cull_stats"))
 def render_sharded(scene: Scene, camera: Camera, height: int, width: int,
                    *, mesh: Mesh, depth: int = 0, chunk_size: int = 512,
                    remat: bool = False, mirror_only: bool = False,
                    engine: str = "auto", cull: tuple | None = None,
-                   shadow_lights: tuple | None = None):
+                   shadow_lights: tuple | None = None,
+                   with_cull_stats: bool = False):
     """Render (H, W, 3), pixel tiles sharded over the mesh, scene replicated.
 
     Returns a global jax.Array with NamedSharding(mesh, P('dx','dy',None)).
@@ -44,6 +45,9 @@ def render_sharded(scene: Scene, camera: Camera, height: int, width: int,
     engine='culled' runs the tile-cone broad phase *per device shard*: each
     device culls against its own sub-image's cones — cull=((th,tw), kp, ks)
     as in ops/render.render, with (th, tw) dividing the per-device tile.
+
+    with_cull_stats: also return a replicated int32 scalar — the psum over
+    devices of culled-K overflow events (0 for exact engines).
     """
     origins, dirs = generate_rays(camera, height, width)   # (H, W, 3)
 
@@ -65,12 +69,14 @@ def render_sharded(scene: Scene, camera: Camera, height: int, width: int,
         def tile_fn(scene_rep, o_tile, d_tile):
             o = tile_image(o_tile, cth, ctw).reshape(-1, 3)
             d = tile_image(d_tile, cth, ctw).reshape(-1, 3)
-            colors = trace_rays_fast(scene_rep, o, d, depth,
-                                     chunk_size=chunk_size, engine="culled",
-                                     cull=(cth * ctw, kp, ks, hot_m, kb, ksb),
-                                     shadow_lights=shadow_lights)
-            return untile_image(colors, o_tile.shape[0], o_tile.shape[1],
-                                cth, ctw)
+            colors, ovf = trace_rays_fast(
+                scene_rep, o, d, depth,
+                chunk_size=chunk_size, engine="culled",
+                cull=(cth * ctw, kp, ks, hot_m, kb, ksb),
+                shadow_lights=shadow_lights, with_cull_stats=True)
+            img = untile_image(colors, o_tile.shape[0], o_tile.shape[1],
+                               cth, ctw)
+            return img, jax.lax.psum(ovf, (AXIS_X, AXIS_Y))
     else:
         tracer = (trace_rays_mirror if mirror_only
                   else pick_tracer(scene, engine, shadow_lights))
@@ -80,7 +86,7 @@ def render_sharded(scene: Scene, camera: Camera, height: int, width: int,
             d = d_tile.reshape(-1, 3)
             colors = tracer(scene_rep, o, d, depth, chunk_size=chunk_size,
                             remat=remat)
-            return colors.reshape(o_tile.shape)
+            return colors.reshape(o_tile.shape), jnp.zeros((), jnp.int32)
 
     # check_vma=False: the analytic-VJP scatter in the transpose defeats
     # static replication inference; the replicated-scene cotangent still gets
@@ -88,10 +94,11 @@ def render_sharded(scene: Scene, camera: Camera, height: int, width: int,
     shmapped = jax.shard_map(
         tile_fn, mesh=mesh,
         in_specs=(P(), P(AXIS_X, AXIS_Y, None), P(AXIS_X, AXIS_Y, None)),
-        out_specs=P(AXIS_X, AXIS_Y, None),
+        out_specs=(P(AXIS_X, AXIS_Y, None), P()),
         check_vma=False,
     )
-    return shmapped(scene, origins, dirs)
+    img, ovf = shmapped(scene, origins, dirs)
+    return (img, ovf) if with_cull_stats else img
 
 
 def constrain_tiles(x, mesh: Mesh):

@@ -313,3 +313,39 @@ def test_culled_box_only_scene():
     a = render(scene, cam, H, W, engine="xla")
     b = render(scene, cam, H, W, engine="culled", cull=spec)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_cull_overflow_scalar_every_step():
+    """cull_overflow_count + with_cull_stats: a step-level scalar that is 0
+    when K covers every tile and > 0 the moment any list overflows — the
+    every-step never-silent contract (VERDICT r2 weak #8)."""
+    from openglraytracer_tpu.ops.accel import (cull_overflow_count,
+                                               suggest_cull_config)
+    scene, cam = sphere_grid_scene(8)
+    spec = suggest_cull_config(scene, cam, H, W, TILE)
+    o, d = _tiled_rays(cam)
+
+    kp, ks, hot_m = spec[1], spec[2], spec[3]
+    _, _, aux = culled_geometry(scene, o, d, TILE[0] * TILE[1], kp, ks,
+                                hot_m=hot_m)
+    assert int(cull_overflow_count(aux)) == 0
+
+    _, _, aux_bad = culled_geometry(scene, o, d, TILE[0] * TILE[1], 2, 2)
+    assert int(cull_overflow_count(aux_bad)) > 0
+
+    # through the render API (both engines)
+    img, ovf = render(scene, cam, H, W, engine="culled",
+                      cull=(TILE, 2, 2), with_cull_stats=True)
+    assert img.shape == (H, W, 3) and int(ovf) > 0
+    _, ovf0 = render(scene, cam, H, W, engine="xla", with_cull_stats=True)
+    assert int(ovf0) == 0
+
+    # and out of a full train step, every step
+    from openglraytracer_tpu.train.inverse import FitConfig, make_train_step
+    cfg = FitConfig(height=H, width=W, steps=1, engine="culled",
+                    cull=(TILE, 2, 2), trainable=("spheres.center",))
+    init_fn, step_fn = make_train_step(cam, cfg)
+    params, opt_state = init_fn(scene)
+    target = jnp.zeros((H, W, 3), jnp.float32)
+    _, _, _, ovf_step = step_fn(params, opt_state, scene, target)
+    assert int(ovf_step) > 0

@@ -65,12 +65,12 @@ def test_sharded_step_matches_single():
 
     init1, step1 = make_train_step(cam, cfg, mesh=None)
     p1, o1 = init1(scene_init)
-    p1, o1, l1 = step1(p1, o1, scene_init, target)
+    p1, o1, l1, _ = step1(p1, o1, scene_init, target)
 
     mesh = make_mesh()
     initn, stepn = make_train_step(cam, cfg, mesh=mesh)
     pn, on = initn(scene_init)
-    pn, on, ln = stepn(pn, on, scene_init, target)
+    pn, on, ln, _ = stepn(pn, on, scene_init, target)
 
     np.testing.assert_allclose(float(l1), float(ln), rtol=1e-5)
     for a, b in zip(jax.tree_util.tree_leaves(p1),
