@@ -106,13 +106,15 @@ def bench_config(name: str, scene, cam, height: int, width: int, depth: int,
                                                tile_image)
     from openglraytracer_tpu.ops.raygen import generate_rays
     from openglraytracer_tpu.ops.render import trace_rays_fast
-    from openglraytracer_tpu.ops.shading import static_shadow_mask
+    from openglraytracer_tpu.ops.shading import (static_bounce_mask,
+                                                 static_shadow_mask)
     from openglraytracer_tpu.train.inverse import (
         DEFAULT_TRAINABLE, apply_params, extract_params)
     from openglraytracer_tpu.utils.metrics import rays_per_frame
     from openglraytracer_tpu.utils.profiling import cost_analysis
 
     shadow_mask = static_shadow_mask(scene)
+    bounce_mask = static_bounce_mask(scene) if depth > 0 else (True, True)
     cull = None
     origins, dirs = generate_rays(cam, height, width)
     if engine == "culled":
@@ -132,7 +134,8 @@ def bench_config(name: str, scene, cam, height: int, width: int, depth: int,
 
     def forward(scene):
         return trace_rays_fast(scene, o, d, depth, engine=engine, cull=cull,
-                               shadow_lights=shadow_mask)
+                               shadow_lights=shadow_mask,
+                               bounce_mask=bounce_mask)
 
     fwd_jit = jax.jit(forward)
     t_fwd = _pipelined(fwd_jit, (scene,), k=k)
@@ -160,7 +163,8 @@ def bench_config(name: str, scene, cam, height: int, width: int, depth: int,
     t_step = _chained_step(sgd_step, params, scene, target, k=k)
 
     rays = rays_per_frame(height, width, scene.lights.count, depth,
-                          shadow_lights=shadow_mask)
+                          shadow_lights=shadow_mask,
+                          bounce_mask=bounce_mask)
     row = {
         "engine": engine,
         "resolution": f"{width}x{height}",

@@ -101,11 +101,14 @@ def cmd_render(args):
         img = render(scene, cam, h, w, **kwargs)
         img.block_until_ready()
     if args.time:
-        from openglraytracer_tpu.ops.shading import static_shadow_mask
+        from openglraytracer_tpu.ops.shading import (static_bounce_mask,
+                                                     static_shadow_mask)
         from openglraytracer_tpu.utils.metrics import rays_per_frame
         dt = time_fn(lambda: render(scene, cam, h, w, **kwargs))
         n_rays = rays_per_frame(h, w, scene.lights.count, depth,
-                                shadow_lights=static_shadow_mask(scene))
+                                shadow_lights=static_shadow_mask(scene),
+                                bounce_mask=(static_bounce_mask(scene)
+                                             if depth > 0 else None))
         MetricsLogger("render").log(h=h, w=w, depth=depth, sec=dt,
                                     mrays_per_s=round(n_rays / dt / 1e6, 2))
     if args.save_scene:

@@ -51,40 +51,54 @@ def _mix(a, b, w):
     return a * (1.0 - w) + b * w
 
 
-def _apply_bounces(scene: Scene, dirs, hit, color, depth: int, recurse):
+def _apply_bounces(scene: Scene, dirs, hit, color, depth: int, recurse,
+                   bounce_mask: tuple = (True, True)):
     """Reflection (:979-997) and refraction (:1001-1030) child traces blended
     with mix(mix(phong, refl, reflectivity), refr, transparency) (:1042-1051).
-    recurse(origins, dirs, depth) -> colors for the child rays."""
+    recurse(origins, dirs, depth) -> colors for the child rays.
+
+    bounce_mask: static (has_refl, has_refr) — a False entry skips that
+    subtree entirely (shading.static_bounce_mask proves it contributes
+    nothing for this scene's materials)."""
+    has_refl, has_refr = bounce_mask
     mat = gather_materials(scene, hit.material_id)
 
-    refl_org = hit.p + hit.n * BOUNCE_EPS
-    refl_dir = reflect(dirs, hit.n)
-    refl_color = recurse(refl_org, refl_dir, depth - 1)
-    do_refl = (hit.hit & (mat.reflectivity > 0.0))[:, None]
-    color = jnp.where(do_refl,
-                      _mix(color, refl_color, mat.reflectivity[:, None]),
-                      color)
+    if has_refl:
+        refl_org = hit.p + hit.n * BOUNCE_EPS
+        refl_dir = reflect(dirs, hit.n)
+        refl_color = recurse(refl_org, refl_dir, depth - 1)
+        do_refl = (hit.hit & (mat.reflectivity > 0.0))[:, None]
+        color = jnp.where(do_refl,
+                          _mix(color, refl_color, mat.reflectivity[:, None]),
+                          color)
 
-    refr_org = hit.p - hit.n * BOUNCE_EPS
-    ratio = jnp.where(hit.inside,
-                      mat.refraction_index / AIR_IOR,
-                      AIR_IOR / mat.refraction_index)
-    refr_dir = refract(dirs, hit.n, ratio[:, None])
-    refr_color = recurse(refr_org, refr_dir, depth - 1)
-    do_refr = (hit.hit & (mat.transparency > 0.0))[:, None]
-    color = jnp.where(do_refr,
-                      _mix(color, refr_color, mat.transparency[:, None]),
-                      color)
+    if has_refr:
+        refr_org = hit.p - hit.n * BOUNCE_EPS
+        ratio = jnp.where(hit.inside,
+                          mat.refraction_index / AIR_IOR,
+                          AIR_IOR / mat.refraction_index)
+        refr_dir = refract(dirs, hit.n, ratio[:, None])
+        refr_color = recurse(refr_org, refr_dir, depth - 1)
+        do_refr = (hit.hit & (mat.transparency > 0.0))[:, None]
+        color = jnp.where(do_refr,
+                          _mix(color, refr_color, mat.transparency[:, None]),
+                          color)
     return color
 
 
 def trace_rays(scene: Scene, origins, dirs, depth: int = 0,
-               chunk_size: int = 512, remat: bool = False) -> jnp.ndarray:
+               chunk_size: int = 512, remat: bool = False,
+               bounce_mask: tuple | None = None) -> jnp.ndarray:
     """Trace rays through the scene with full reflection+refraction tree
     (pure-XLA path; handles every primitive type).
 
     origins, dirs: (R, 3), dirs normalized. Returns colors (R, 3).
+    bounce_mask: static (has_refl, has_refr); None auto-detects statically
+    dead subtrees when the scene is concrete (output-identical elision).
     """
+    if bounce_mask is None:
+        from openglraytracer_tpu.ops.shading import static_bounce_mask
+        bounce_mask = static_bounce_mask(scene)
     hit = closest_hit(scene, origins, dirs, chunk_size=chunk_size, remat=remat)
     color = phong_shade(scene, dirs, hit, chunk_size=chunk_size, remat=remat)
 
@@ -92,7 +106,9 @@ def trace_rays(scene: Scene, origins, dirs, depth: int = 0,
         color = _apply_bounces(
             scene, dirs, hit, color, depth,
             lambda o, d, dd: trace_rays(scene, o, d, dd,
-                                        chunk_size=chunk_size, remat=remat))
+                                        chunk_size=chunk_size, remat=remat,
+                                        bounce_mask=bounce_mask),
+            bounce_mask)
 
     return jnp.where(hit.hit[:, None], color, 0.0)
 
@@ -101,7 +117,8 @@ def trace_rays_fast(scene: Scene, origins, dirs, depth: int = 0,
                     chunk_size: int = 512, engine: str = "xla",
                     cull: tuple | None = None,
                     shadow_lights: tuple | None = None,
-                    with_cull_stats: bool = False):
+                    with_cull_stats: bool = False,
+                    bounce_mask: tuple | None = None):
     """Trace with the analytic O(rays) geometry VJP (ops/geometry.py):
     forward identical to trace_rays; backward gathers each ray's winning
     object, replays one candidate computation, and scatter-adds — instead of
@@ -121,6 +138,9 @@ def trace_rays_fast(scene: Scene, origins, dirs, depth: int = 0,
     from openglraytracer_tpu.ops.geometry import geometry_op
     from openglraytracer_tpu.ops.shading import phong_shade_lit
 
+    if bounce_mask is None:
+        from openglraytracer_tpu.ops.shading import static_bounce_mask
+        bounce_mask = static_bounce_mask(scene)
     mat_rows = None
     ovf = jnp.zeros((), jnp.int32)
     if engine == "culled":
@@ -148,13 +168,16 @@ def trace_rays_fast(scene: Scene, origins, dirs, depth: int = 0,
             lambda o, d, dd: trace_rays_fast(scene, o, d, dd,
                                              chunk_size=chunk_size,
                                              engine=child_engine,
-                                             shadow_lights=shadow_lights))
+                                             shadow_lights=shadow_lights,
+                                             bounce_mask=bounce_mask),
+            bounce_mask)
     color = jnp.where(hit.hit[:, None], color, 0.0)
     return (color, ovf) if with_cull_stats else color
 
 
 def pick_tracer(scene: Scene, engine: str = "auto",
-                shadow_lights: tuple | None = None):
+                shadow_lights: tuple | None = None,
+                bounce_mask: tuple | None = None):
     """Select the trace implementation by engine name:
       'auto'          -> 'xla' (all primitive types, analytic VJP)
       'xla'           -> XLA forward + analytic O(R) VJP (spheres, OBBs,
@@ -167,10 +190,12 @@ def pick_tracer(scene: Scene, engine: str = "auto",
     if engine == "auto":
         engine = "xla"
     if engine == "autodiff":
-        return trace_rays
+        return lambda s, o, d, depth=0, chunk_size=512, remat=False: \
+            trace_rays(s, o, d, depth, chunk_size=chunk_size, remat=remat,
+                       bounce_mask=bounce_mask)
     return lambda s, o, d, depth=0, chunk_size=512, remat=False: \
         trace_rays_fast(s, o, d, depth, chunk_size=chunk_size, engine=engine,
-                        shadow_lights=shadow_lights)
+                        shadow_lights=shadow_lights, bounce_mask=bounce_mask)
 
 
 def _dfs_schedule(depth: int):
@@ -203,7 +228,8 @@ def _dfs_schedule(depth: int):
 
 def trace_rays_stack(scene: Scene, origins, dirs, depth: int,
                      chunk_size: int = 512, engine: str = "xla",
-                     shadow_lights: tuple | None = None) -> jnp.ndarray:
+                     shadow_lights: tuple | None = None,
+                     bounce_mask: tuple | None = None) -> jnp.ndarray:
     """Full reflection+refraction bounce tree at O(depth * rays) memory.
 
     ``trace_rays``'s static unroll materializes all 2^(depth+1)-1 node
@@ -231,10 +257,21 @@ def trace_rays_stack(scene: Scene, origins, dirs, depth: int,
     from openglraytracer_tpu.ops.geometry import geometry_op
     from openglraytracer_tpu.ops.shading import phong_shade_lit
 
-    if depth == 0:
+    if bounce_mask is None:
+        from openglraytracer_tpu.ops.shading import static_bounce_mask
+        bounce_mask = static_bounce_mask(scene)
+    has_refl, has_refr = bounce_mask
+    if depth == 0 or not (has_refl or has_refr):
         return trace_rays_fast(scene, origins, dirs, 0,
                                chunk_size=chunk_size, engine=engine,
                                shadow_lights=shadow_lights)
+    if not (has_refl and has_refr):
+        # one statically-dead branch: the tree degenerates to a CHAIN — trace
+        # depth+1 casts instead of 2^(depth+1)-1, with no pending-frame stack
+        # at all (the node weights reduce exactly: a dead branch's edge weight
+        # is identically 0 in the blend :1042-1051)
+        return _trace_chain(scene, origins, dirs, depth, has_refl,
+                            chunk_size, engine, shadow_lights)
 
     r = origins.shape[0]
     dtype = origins.dtype
@@ -287,6 +324,51 @@ def trace_rays_stack(scene: Scene, origins, dirs, depth: int,
     return accum
 
 
+def _trace_chain(scene: Scene, origins, dirs, depth: int, refl_branch: bool,
+                 chunk_size: int, engine: str,
+                 shadow_lights: tuple | None) -> jnp.ndarray:
+    """Single-branch bounce chain (reflection-only or refraction-only scene)
+    via lax.scan: node contribution w*(1-w_child)*phong, edge weight w_child
+    — the full tree blend with the dead branch's weight identically zero.
+    O(depth) casts and O(1) carried state; same geometry/shading ops as
+    trace_rays_stack so outputs are identical to the tree unroll."""
+    from openglraytracer_tpu.ops.geometry import geometry_op
+    from openglraytracer_tpu.ops.shading import phong_shade_lit
+
+    r = origins.shape[0]
+    dtype = origins.dtype
+
+    def body(carry, level):
+        o, d, w, accum = carry
+        hit, occ = geometry_op(scene, o, d, engine, chunk_size,
+                               shadow_lights)
+        color = phong_shade_lit(scene, d, hit, occ)
+        color = jnp.where(hit.hit[:, None], color, 0.0)
+        mat = gather_materials(scene, hit.material_id)
+
+        is_leaf = level >= depth
+        weight = mat.reflectivity if refl_branch else mat.transparency
+        w_child = jnp.where(hit.hit & (weight > 0.0) & ~is_leaf,
+                            weight, 0.0)[:, None]
+        accum = accum + w * (1.0 - w_child) * color
+
+        if refl_branch:
+            o_next = hit.p + hit.n * BOUNCE_EPS
+            d_next = reflect(d, hit.n)
+        else:
+            ratio = jnp.where(hit.inside,
+                              mat.refraction_index / AIR_IOR,
+                              AIR_IOR / mat.refraction_index)
+            o_next = hit.p - hit.n * BOUNCE_EPS
+            d_next = refract(d, hit.n, ratio[:, None])
+        return (o_next, d_next, w * w_child, accum), None
+
+    init = (origins, dirs, jnp.ones((r, 1), dtype), jnp.zeros((r, 3), dtype))
+    (_, _, _, accum), _ = jax.lax.scan(jax.checkpoint(body), init,
+                                       jnp.arange(depth + 1))
+    return accum
+
+
 def trace_rays_mirror(scene: Scene, origins, dirs, depth: int,
                       chunk_size: int = 512, remat: bool = True) -> jnp.ndarray:
     """Reflection-only bounce chain via lax.scan (O(depth) ray casts).
@@ -328,7 +410,8 @@ def render(scene: Scene, camera: Camera, height: int, width: int,
            cull: tuple | None = None,
            shadow_lights: tuple | None = None,
            bounce: str = "tree",
-           with_cull_stats: bool = False):
+           with_cull_stats: bool = False,
+           bounce_mask: tuple | None = None):
     """Render an (H, W, 3) image. Pure function of (scene, camera) — the
     reference's statelessness (everything recomputed from `time` each frame,
     SURVEY.md §5 checkpoint entry) preserved by construction.
@@ -354,23 +437,31 @@ def render(scene: Scene, camera: Camera, height: int, width: int,
     if shadow_lights is None:
         from openglraytracer_tpu.ops.shading import static_shadow_mask
         shadow_lights = static_shadow_mask(scene)
+    # static dead-branch elision must be decided OUTSIDE the jit (the scene
+    # is traced inside _render_jit, where the material table is unknown);
+    # callers under their own jit (train steps) pass the mask explicitly
+    if bounce_mask is None:
+        from openglraytracer_tpu.ops.shading import static_bounce_mask
+        bounce_mask = static_bounce_mask(scene) if depth > 0 else (True, True)
     out = _render_jit(scene, camera, height, width, depth, chunk_size,
                       remat, row_block, mirror_only, engine, cull,
-                      shadow_lights, bounce, with_cull_stats)
+                      shadow_lights, bounce, with_cull_stats, bounce_mask)
     return out
 
 
 @partial(jax.jit, static_argnames=("height", "width", "depth", "chunk_size",
                                    "remat", "row_block", "mirror_only",
                                    "engine", "cull", "shadow_lights",
-                                   "bounce", "with_cull_stats"))
+                                   "bounce", "with_cull_stats",
+                                   "bounce_mask"))
 def _render_jit(scene: Scene, camera: Camera, height: int, width: int,
                 depth: int, chunk_size: int, remat: bool,
                 row_block: int | None, mirror_only: bool, engine: str,
                 cull: tuple | None,
                 shadow_lights: tuple | None,
                 bounce: str = "tree",
-                with_cull_stats: bool = False):
+                with_cull_stats: bool = False,
+                bounce_mask: tuple = (True, True)):
     origins, dirs = generate_rays(camera, height, width)
 
     if engine == "culled":
@@ -394,7 +485,8 @@ def _render_jit(scene: Scene, camera: Camera, height: int, width: int,
                               engine="culled",
                               cull=(th * tw, kp, ks, hot_m, kb, ksb),
                               shadow_lights=shadow_lights,
-                              with_cull_stats=with_cull_stats)
+                              with_cull_stats=with_cull_stats,
+                              bounce_mask=bounce_mask)
         if with_cull_stats:
             colors, ovf = out
             return untile_image(colors, height, width, th, tw), ovf
@@ -410,10 +502,12 @@ def _render_jit(scene: Scene, camera: Camera, height: int, width: int,
 
         def tracer(s, o, d, depth, chunk_size=512, remat=False):
             return trace_rays_stack(s, o, d, depth, chunk_size=chunk_size,
-                                    engine=eng, shadow_lights=shadow_lights)
+                                    engine=eng, shadow_lights=shadow_lights,
+                                    bounce_mask=bounce_mask)
     else:
         tracer = (trace_rays_mirror if mirror_only
-                  else pick_tracer(scene, engine, shadow_lights))
+                  else pick_tracer(scene, engine, shadow_lights,
+                                   bounce_mask))
 
     if row_block is None or row_block >= height:
         colors = tracer(scene, o, d, depth, chunk_size=chunk_size, remat=remat)

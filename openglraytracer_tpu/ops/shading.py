@@ -92,6 +92,29 @@ def static_shadow_mask(scene: Scene):
                  for i in range(scene.lights.count))
 
 
+def static_bounce_mask(scene: Scene) -> tuple[bool, bool]:
+    """(has_reflection, has_refraction): which bounce subtrees can contribute.
+
+    The reference pushes a reflection child only when reflectivity > 0 and a
+    refraction child only when transparency > 0 (raytrace_compute.glsl:979,
+    :1001); when the concrete material table has max reflectivity == 0 (or
+    max transparency == 0) that branch is statically dead for EVERY ray — the
+    blend mix(mix(phong, refl, 0), refr, tau) reduces exactly (:1034-1054) —
+    so tracing it is pure waste (a third of all casts in a depth-1 mirror
+    scene). Output- and gradient-identical by construction: the `do_*` where
+    gates already zero both the value and the cotangent at weight 0.
+
+    Returns (True, True) when the material table is traced (unknown at trace
+    time: keep both branches), mirroring static_shadow_mask.
+    """
+    import numpy as np
+    refl, tau = scene.materials.reflectivity, scene.materials.transparency
+    if isinstance(refl, jax.core.Tracer) or isinstance(tau, jax.core.Tracer):
+        return (True, True)
+    return (bool(np.any(np.asarray(refl) > 0.0)),
+            bool(np.any(np.asarray(tau) > 0.0)))
+
+
 def shadow_masks(scene: Scene, hit: Hit, chunk_size: int = 512,
                  remat: bool = False) -> jnp.ndarray:
     """Per-light occlusion masks, shape (R, L) bool (True = in shadow)."""

@@ -31,13 +31,15 @@ from openglraytracer_tpu.parallel.mesh import AXIS_X, AXIS_Y
 @partial(jax.jit,
          static_argnames=("height", "width", "depth", "chunk_size", "remat",
                           "mirror_only", "mesh", "engine", "cull",
-                          "shadow_lights", "with_cull_stats"))
+                          "shadow_lights", "with_cull_stats",
+                          "bounce_mask"))
 def render_sharded(scene: Scene, camera: Camera, height: int, width: int,
                    *, mesh: Mesh, depth: int = 0, chunk_size: int = 512,
                    remat: bool = False, mirror_only: bool = False,
                    engine: str = "auto", cull: tuple | None = None,
                    shadow_lights: tuple | None = None,
-                   with_cull_stats: bool = False):
+                   with_cull_stats: bool = False,
+                   bounce_mask: tuple = (True, True)):
     """Render (H, W, 3), pixel tiles sharded over the mesh, scene replicated.
 
     Returns a global jax.Array with NamedSharding(mesh, P('dx','dy',None)).
@@ -73,13 +75,15 @@ def render_sharded(scene: Scene, camera: Camera, height: int, width: int,
                 scene_rep, o, d, depth,
                 chunk_size=chunk_size, engine="culled",
                 cull=(cth * ctw, kp, ks, hot_m, kb, ksb),
-                shadow_lights=shadow_lights, with_cull_stats=True)
+                shadow_lights=shadow_lights, with_cull_stats=True,
+                bounce_mask=bounce_mask)
             img = untile_image(colors, o_tile.shape[0], o_tile.shape[1],
                                cth, ctw)
             return img, jax.lax.psum(ovf, (AXIS_X, AXIS_Y))
     else:
         tracer = (trace_rays_mirror if mirror_only
-                  else pick_tracer(scene, engine, shadow_lights))
+                  else pick_tracer(scene, engine, shadow_lights,
+                                   bounce_mask))
 
         def tile_fn(scene_rep, o_tile, d_tile):
             o = o_tile.reshape(-1, 3)

@@ -85,7 +85,7 @@ def make_train_step(camera: Camera, cfg: FitConfig, mesh=None,
     """
     opt = optimizer if optimizer is not None else optax.adam(cfg.learning_rate)
 
-    def loss_fn(params, scene, target, shadow_lights):
+    def loss_fn(params, scene, target, shadow_lights, bounce_mask):
         s = apply_params(scene, params)
         if mesh is not None:
             img, ovf = render_sharded(
@@ -93,7 +93,7 @@ def make_train_step(camera: Camera, cfg: FitConfig, mesh=None,
                 depth=cfg.depth, chunk_size=cfg.chunk_size,
                 remat=cfg.remat, engine=cfg.engine,
                 cull=cfg.cull, shadow_lights=shadow_lights,
-                with_cull_stats=True)
+                with_cull_stats=True, bounce_mask=bounce_mask)
         else:
             img, ovf = render(s, camera, cfg.height, cfg.width,
                               depth=cfg.depth,
@@ -101,7 +101,7 @@ def make_train_step(camera: Camera, cfg: FitConfig, mesh=None,
                               engine=cfg.engine, cull=cfg.cull,
                               row_block=cfg.row_block,
                               shadow_lights=shadow_lights,
-                              with_cull_stats=True)
+                              with_cull_stats=True, bounce_mask=bounce_mask)
         return jnp.mean(jnp.square(img - target)), ovf
 
     def init_fn(scene: Scene):
@@ -111,22 +111,30 @@ def make_train_step(camera: Camera, cfg: FitConfig, mesh=None,
                                         extract_params(scene, cfg.trainable))
         return params, opt.init(params)
 
-    @partial(jax.jit, donate_argnums=(0, 1), static_argnums=(4,))
-    def _step(params, opt_state, scene, target, shadow_lights):
+    @partial(jax.jit, donate_argnums=(0, 1), static_argnums=(4, 5))
+    def _step(params, opt_state, scene, target, shadow_lights, bounce_mask):
         (loss, ovf), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, scene, target, shadow_lights)
+            params, scene, target, shadow_lights, bounce_mask)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, ovf
 
     lights_trainable = any(p.startswith("lights.") for p in cfg.trainable)
+    # dead-branch elision is only valid if the branch weights are frozen
+    # (a trainable reflectivity/transparency could leave zero mid-fit)
+    bounce_trainable = any(p in ("materials.reflectivity",
+                                 "materials.transparency", "materials")
+                           for p in cfg.trainable)
 
     def step_fn(params, opt_state, scene, target):
         # shadow-skip mask for ambient-only lights: only valid if the light
         # params are frozen (a trainable light could become non-ambient)
-        from openglraytracer_tpu.ops.shading import static_shadow_mask
+        from openglraytracer_tpu.ops.shading import (static_bounce_mask,
+                                                     static_shadow_mask)
         mask = None if lights_trainable else static_shadow_mask(scene)
-        return _step(params, opt_state, scene, target, mask)
+        bmask = ((True, True) if (bounce_trainable or cfg.depth == 0)
+                 else static_bounce_mask(scene))
+        return _step(params, opt_state, scene, target, mask, bmask)
 
     return init_fn, step_fn
 
@@ -151,6 +159,9 @@ def fit(scene_init: Scene, target, camera: Camera, cfg: FitConfig,
     logger = MetricsLogger("fit")
     losses = []
     import time as _time
+    from openglraytracer_tpu.ops.shading import static_bounce_mask
+    bounce_mask_acct = (static_bounce_mask(scene_init) if cfg.depth > 0
+                        else (True, True))
     t_last = _time.perf_counter()
     rays_logged = 0
     # device-side running max of per-step overflow events: EVERY step's
@@ -163,7 +174,8 @@ def fit(scene_init: Scene, target, camera: Camera, cfg: FitConfig,
                                                target)
         ovf_running = jnp.maximum(ovf_running, ovf)
         rays_logged += rays_per_frame(cfg.height, cfg.width,
-                                      scene_init.lights.count, cfg.depth)
+                                      scene_init.lights.count, cfg.depth,
+                                      bounce_mask=bounce_mask_acct)
         if step % cfg.log_every == 0 or step == cfg.steps - 1:
             lv = float(loss)          # blocks: the window below is synced
             now = _time.perf_counter()

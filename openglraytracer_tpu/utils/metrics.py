@@ -50,7 +50,8 @@ def time_fn(fn, *args, warmup: int = 2, iters: int = 5):
 
 def rays_per_frame(height: int, width: int, n_lights: int, depth: int = 0,
                    mirror_only: bool = False,
-                   shadow_lights: tuple | None = None):
+                   shadow_lights: tuple | None = None,
+                   bounce_mask: tuple | None = None):
     """Primary + shadow ray count per frame, matching what the renderer
     actually casts (BASELINE.md's accounting for the reference):
 
@@ -58,9 +59,17 @@ def rays_per_frame(height: int, width: int, n_lights: int, depth: int = 0,
       * mirror_only (trace_rays_mirror / stack-free chain): depth + 1 casts
       * each cast spawns one shadow segment per SHADOW-CASTING light —
         lights statically elided by shading.static_shadow_mask
-        (``shadow_lights[i] is False``) never cast and are not charged.
+        (``shadow_lights[i] is False``) never cast and are not charged;
+      * bounce subtrees statically elided by shading.static_bounce_mask
+        (``bounce_mask``, (has_refl, has_refr)) aren't cast or charged
+        either: one live branch = depth + 1 chain casts, none = 1.
     """
-    casts = (depth + 1) if mirror_only else (2 ** (depth + 1) - 1)
+    if mirror_only:
+        casts = depth + 1
+    elif bounce_mask is not None and not all(bounce_mask):
+        casts = (depth + 1) if any(bounce_mask) else 1
+    else:
+        casts = 2 ** (depth + 1) - 1
     casting = (sum(map(bool, shadow_lights)) if shadow_lights is not None
                else n_lights)
     return height * width * casts * (1 + casting)
