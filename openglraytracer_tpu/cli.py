@@ -83,7 +83,7 @@ def cmd_render(args):
     kwargs = dict(depth=depth, engine=args.engine,
                   chunk_size=args.chunk_size,
                   bounce=getattr(args, "bounce", "tree"))
-    if args.engine == "culled":
+    if args.engine in ("culled", "culled_pallas"):
         from openglraytracer_tpu.ops.accel import suggest_cull_config
         t = args.cull_tile
         if h % t or w % t:
@@ -124,7 +124,7 @@ def cmd_animate(args):
     from openglraytracer_tpu.utils.image import save_png
 
     cull = None
-    if args.engine == "culled":
+    if args.engine in ("culled", "culled_pallas"):
         from openglraytracer_tpu.ops.accel import (check_cull_overflow,
                                                    suggest_cull_config)
         t = args.cull_tile
@@ -209,7 +209,7 @@ def cmd_fit(args):
     args.width = args.width or 128
 
     cull = None
-    if args.engine == "culled":
+    if args.engine in ("culled", "culled_pallas"):
         from openglraytracer_tpu.ops.accel import suggest_cull_config
         t = args.cull_tile
         if args.height % t or args.width % t:
@@ -305,7 +305,7 @@ def main(argv=None):
     r.add_argument("--height", type=int, default=None)
     r.add_argument("--depth", type=int, default=None)
     r.add_argument("--engine", default="auto",
-                   choices=["auto", "xla", "pallas", "culled"])
+                   choices=["auto", "xla", "pallas", "culled", "culled_pallas"])
     r.add_argument("--cull-tile", type=int, default=32,
                    help="pixel tile side for engine=culled")
     r.add_argument("--chunk-size", type=int, default=512)
@@ -330,7 +330,7 @@ def main(argv=None):
     a.add_argument("--height", type=int, default=360)
     a.add_argument("--depth", type=int, default=0)
     a.add_argument("--engine", default="auto",
-                   choices=["auto", "xla", "pallas", "culled", "autodiff"])
+                   choices=["auto", "xla", "pallas", "culled", "culled_pallas", "autodiff"])
     a.add_argument("--cull-tile", type=int, default=8,
                    help="pixel tile side for engine=culled")
     a.add_argument("--out-pattern", default="frame_{:04d}.png")
@@ -354,7 +354,7 @@ def main(argv=None):
                    default="spheres.center,spheres.radius,materials.diffuse")
     f.add_argument("--sharded", action="store_true")
     f.add_argument("--engine", default="auto",
-                   choices=["auto", "xla", "pallas", "culled"])
+                   choices=["auto", "xla", "pallas", "culled", "culled_pallas"])
     f.add_argument("--cull-tile", type=int, default=32)
     f.add_argument("--row-block", type=int, default=None)
     f.add_argument("--checkpoint-dir", default=None)

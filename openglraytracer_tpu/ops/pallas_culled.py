@@ -1,0 +1,704 @@
+"""Culled Pallas narrow phase: tile-cone survivor lists scanned in VMEM.
+
+The reference's hot loop is get_closest_collision's all-objects scan per ray
+(raytrace_compute.glsl:738-782) plus one occlusion scan per light (:813).
+The repo has two fast replacements: the pure-XLA culled engine (ops/accel.py
+— broad-phase cones cut the scan from N objects to K survivors, but the
+narrow phase materializes (tiles, K, pixels) candidate blocks through HBM)
+and the dense Pallas kernel (ops/pallas_render.py — zero intermediate HBM
+traffic, but it re-scans all N objects per ray). This module is the
+composition that beats both (VERDICT r2 next #1): the SAME broad phase as
+accel.py feeding Mosaic kernels that scan only the K survivors while the ray
+tile stays resident in VMEM.
+
+Pipeline (identical contract to accel.culled_geometry):
+
+  XLA   broad phase: tile cones -> conservative sphere-vs-cone masks ->
+        top-K compaction -> survivor parameter rows gathered per tile
+        (tiny: T*K rows), with per-ray-invariant terms precomputed
+        (oc = o0 - c and qc for spheres; the world->local origin for OBBs —
+        primary rays share one pinhole origin, so these are per-survivor
+        SCALARS, computed once per tile instead of once per ray)
+  Pallas  kernel A: closest hit over (Kp sphere + Kb box + planes) survivor
+        rows — a static unrolled scan, one running-min carry set, writing
+        only the final per-ray hit record
+  XLA   shadow cones from the hit positions -> per-light survivor lists
+        (accel.shadow_cull_mask / compact_mask, unchanged)
+  Pallas  kernel B: per-light occlusion over (Ks sphere + Ksb box + plane)
+        survivor rows on the unnormalized surface->light segment, sphere
+        occlusion reported separately so the XLA hot-tile dense pass can
+        override exactly as accel.py does
+  XLA   hot-tile override + CullAux assembly (counts/overflow identical)
+
+The narrow-phase arithmetic mirrors accel.py's operation-for-operation
+(which itself mirrors intersect.py and the GLSL :583-724), so images match
+the culled engine to float rounding; discrete outputs (winner ids, inside
+flags, occlusion bits) are produced by the same comparisons in the same
+fold order (ascending survivor order, first-wins ties, strict-< box merge,
+object-beats-plane ties).
+
+Differentiation: ``culled_pallas_geometry_op`` reuses accel.py's
+tile-structured analytic VJP verbatim (``accel._culled_bwd``) — the kernels
+produce the same (hit, aux) residuals, so engine='culled_pallas' is exactly
+as differentiable as engine='culled' while the forward runs at kernel speed.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from openglraytracer_tpu.models.scene import MISS_T, Scene
+from openglraytracer_tpu.ops.accel import (
+    CullAux,
+    _box_table,
+    _gather_tile_rows,
+    _segment_occluded,
+    _sphere_table,
+    box_bounding_spheres,
+    compact_mask,
+    shadow_cull_mask,
+    sphere_vs_cone,
+    tile_cones,
+)
+from openglraytracer_tpu.ops.intersect import INF_T, Hit, _DIV_EPS, _SQRT_EPS
+from openglraytracer_tpu.ops.shading import SHADOW_EPS
+
+LANE = 128
+# static-unroll limit for survivor scans: Kp/Ks are small by construction
+# (the broad phase exists to make them so); beyond this fall back to a
+# fori_loop like the dense kernel
+_UNROLL_LIMIT = 256
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _inv_safe(x):
+    """Sign-preserving 1/x, |x| clamped away from 0 (intersect._safe_div)."""
+    xs = jnp.where(jnp.abs(x) < _DIV_EPS,
+                   jnp.where(x < 0, -_DIV_EPS, _DIV_EPS), x)
+    return 1.0 / xs
+
+
+def _loop(k: int, body, carry):
+    """Static unroll for small k (lets Mosaic software-pipeline the scalar
+    loads), fori_loop beyond the limit."""
+    if k <= _UNROLL_LIMIT:
+        for j in range(k):
+            carry = body(j, carry)
+        return carry
+    return jax.lax.fori_loop(0, k, body, carry, unroll=1)
+
+
+# ---------------------------------------------------------------------------
+# Kernel A: primary closest hit over survivor rows
+# ---------------------------------------------------------------------------
+# sphere row (8):  [ocx ocy ocz qc mat gid valid pad]   oc = o0 - c (scalar
+#                  per survivor: pinhole origin), qc = oc.oc - r^2
+# box row (24):    [mins(3) maxs(3) ro(3) rot(9) mat gid valid ...] with
+#                  ro = R^T (o0 - pos) precomputed
+# plane row (16):  [nx ny nz off unx uny unz off-n.o0 mat gid ...]
+
+def _primary_kernel(n_kp: int, n_kb: int, n_pln: int,
+                    sph_ref, box_ref, pln_ref,
+                    dx_ref, dy_ref, dz_ref,
+                    t_ref, nx_ref, ny_ref, nz_ref,
+                    ins_ref, mat_ref, gid_ref, slot_ref):
+    dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
+    f32 = dx.dtype
+
+    qa = dx * dx + dy * dy + dz * dz
+    qa_ok = qa > _DIV_EPS
+    inv_2qa = 0.5 / jnp.where(qa < _DIV_EPS, _DIV_EPS, qa)  # _safe_div, qa>=0
+
+    inf = jnp.full_like(dx, INF_T)
+    zero = jnp.zeros_like(dx)
+
+    def sphere_best(j, carry):
+        tb, nx, ny, nz, ins, flp, mat, gid, slot = carry
+        ocx = sph_ref[0, j, 0]
+        ocy = sph_ref[0, j, 1]
+        ocz = sph_ref[0, j, 2]
+        qc = sph_ref[0, j, 3]
+        qb = 2.0 * (dx * ocx + dy * ocy + dz * ocz)
+        qd = qb * qb - 4.0 * qa * qc
+        ok = (qd >= 0.0) & qa_ok & (sph_ref[0, j, 6] > 0.5)
+        sq = jnp.where(ok, jnp.sqrt(jnp.maximum(qd, _SQRT_EPS)), 0.0)
+        t1 = (-qb + sq) * inv_2qa
+        t2 = (-qb - sq) * inv_2qa
+        t_near = jnp.minimum(t1, t2)
+        t_far = jnp.maximum(t1, t2)
+        ok = ok & (t_far >= 0.0)
+        is_in = ok & (t_near < 0.0)
+        t = jnp.where(is_in, t_far, t_near)
+        ok = ok & (t > 0.0)
+        t = jnp.where(ok, t, inf)
+        upd = t < tb
+        in_f = is_in.astype(f32)
+        jf = jnp.asarray(j, f32)
+        return (jnp.where(upd, t, tb),
+                jnp.where(upd, ocx + t * dx, nx),   # u = (o0-c) + t d = p - c
+                jnp.where(upd, ocy + t * dy, ny),
+                jnp.where(upd, ocz + t * dz, nz),
+                jnp.where(upd, in_f, ins),
+                jnp.where(upd, in_f, flp),
+                jnp.where(upd, sph_ref[0, j, 4], mat),
+                jnp.where(upd, sph_ref[0, j, 5], gid),
+                jnp.where(upd, jf, slot))
+
+    carry = (inf, zero, zero, zero, zero, zero, zero,
+             jnp.full_like(dx, -1.0), zero)
+    if n_kp:
+        carry = _loop(n_kp, sphere_best, carry)
+
+    def box_best(j, carry):
+        tb, nx, ny, nz, ins, flp, mat, gid, slot = carry
+        bm0 = box_ref[0, j, 0]
+        bm1 = box_ref[0, j, 1]
+        bm2 = box_ref[0, j, 2]
+        bx0 = box_ref[0, j, 3]
+        bx1 = box_ref[0, j, 4]
+        bx2 = box_ref[0, j, 5]
+        rox = box_ref[0, j, 6]
+        roy = box_ref[0, j, 7]
+        roz = box_ref[0, j, 8]
+        r00, r01, r02 = box_ref[0, j, 9], box_ref[0, j, 10], box_ref[0, j, 11]
+        r10, r11, r12 = box_ref[0, j, 12], box_ref[0, j, 13], box_ref[0, j, 14]
+        r20, r21, r22 = box_ref[0, j, 15], box_ref[0, j, 16], box_ref[0, j, 17]
+        # world -> local direction: R^T d
+        rdx = r00 * dx + r10 * dy + r20 * dz
+        rdy = r01 * dx + r11 * dy + r21 * dz
+        rdz = r02 * dx + r12 * dy + r22 * dz
+        ix, iy, iz = _inv_safe(rdx), _inv_safe(rdy), _inv_safe(rdz)
+        tax, tbx = (bm0 - rox) * ix, (bx0 - rox) * ix
+        tay, tby = (bm1 - roy) * iy, (bx1 - roy) * iy
+        taz, tbz = (bm2 - roz) * iz, (bx2 - roz) * iz
+        t1x, t2x = jnp.minimum(tax, tbx), jnp.maximum(tax, tbx)
+        t1y, t2y = jnp.minimum(tay, tby), jnp.maximum(tay, tby)
+        t1z, t2z = jnp.minimum(taz, tbz), jnp.maximum(taz, tbz)
+        t_near = jnp.maximum(t1x, jnp.maximum(t1y, t1z))
+        t_far = jnp.minimum(t2x, jnp.minimum(t2y, t2z))
+        ok = (t_near < t_far) & (t_far > 0.0) & (box_ref[0, j, 20] > 0.5)
+        is_in = ok & (t_near < 0.0)
+        t = jnp.where(is_in, t_far, t_near)
+        ok = ok & (t > 0.0)
+        t = jnp.where(ok, t, inf)
+        upd = t < tb
+        # face pick: exact equality with the winning slab boundary,
+        # y-before-z priority (accel._box_narrow / reference :699-708)
+        by = jnp.where(is_in, t2y, t1y)
+        bz = jnp.where(is_in, t2z, t1z)
+        face_y = t == by
+        face_z = (~face_y) & (t == bz)
+        face_x = ~(face_y | face_z)
+        rd_face = jnp.where(face_y, rdy, jnp.where(face_z, rdz, rdx))
+        sgn = jnp.where(rd_face > 0.0, -1.0, 1.0)
+        nlx = jnp.where(face_x, sgn, 0.0)
+        nly = jnp.where(face_y, sgn, 0.0)
+        nlz = jnp.where(face_z, sgn, 0.0)
+        nwx = r00 * nlx + r01 * nly + r02 * nlz
+        nwy = r10 * nlx + r11 * nly + r12 * nlz
+        nwz = r20 * nlx + r21 * nly + r22 * nlz
+        jf = jnp.asarray(j, f32)
+        return (jnp.where(upd, t, tb),
+                jnp.where(upd, nwx, nx),
+                jnp.where(upd, nwy, ny),
+                jnp.where(upd, nwz, nz),
+                jnp.where(upd, is_in.astype(f32), ins),
+                jnp.where(upd, 0.0, flp),
+                jnp.where(upd, box_ref[0, j, 18], mat),
+                jnp.where(upd, box_ref[0, j, 19], gid),
+                jnp.where(upd, jf, slot))
+
+    if n_kb:
+        carry = _loop(n_kb, box_best, carry)
+
+    tb, nx, ny, nz, ins, flp, mat, gid, slot = carry
+    for p in range(n_pln):
+        pnx = pln_ref[p, 0]
+        pny = pln_ref[p, 1]
+        pnz = pln_ref[p, 2]
+        off_no = pln_ref[p, 7]
+        nd = pnx * dx + pny * dy + pnz * dz
+        t = off_no * _inv_safe(nd)
+        ok = (jnp.abs(nd) > 1.0e-9) & (t > 0.0)
+        t = jnp.where(ok, t, inf)
+        upd = t < tb          # strict: objects beat planes at equal t
+        s = jnp.where(nd > 0.0, -1.0, 1.0)
+        tb = jnp.where(upd, t, tb)
+        nx = jnp.where(upd, pln_ref[p, 4] * s, nx)
+        ny = jnp.where(upd, pln_ref[p, 5] * s, ny)
+        nz = jnp.where(upd, pln_ref[p, 6] * s, nz)
+        ins = jnp.where(upd, 0.0, ins)
+        flp = jnp.where(upd, 0.0, flp)
+        mat = jnp.where(upd, pln_ref[p, 8], mat)
+        gid = jnp.where(upd, pln_ref[p, 9], gid)
+        slot = jnp.where(upd, -1.0, slot)
+
+    hit_f = (tb < MISS_T).astype(f32)
+    inv_len = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz,
+                                        _SQRT_EPS))
+    sgn = jnp.where(flp > 0.5, -inv_len, inv_len) * hit_f
+    t_ref[0] = tb
+    nx_ref[0] = nx * sgn
+    ny_ref[0] = ny * sgn
+    nz_ref[0] = nz * sgn
+    ins_ref[0] = ins
+    mat_ref[0] = mat
+    gid_ref[0] = gid
+    slot_ref[0] = slot
+
+
+# ---------------------------------------------------------------------------
+# Kernel B: per-light shadow occlusion over survivor rows
+# ---------------------------------------------------------------------------
+# sphere shadow row (8):  [cx cy cz r valid ...]
+# box shadow row (24):    [mins(3) maxs(3) pos(3) rot(9) valid ...]
+# occlusion semantics mirror accel._segment_occluded / _box_segment_occluded:
+# the cast origin is the offset shadow origin, the segment is light - p.
+
+def _shadow_kernel(n_lights: int, light_on: tuple, n_ks: int, n_ksb: int,
+                   n_pln: int,
+                   lg_ref, ssph_ref, sbox_ref, pln_ref,
+                   sx_ref, sy_ref, sz_ref, px_ref, py_ref, pz_ref,
+                   occ_s_ref, occ_o_ref):
+    sx, sy, sz = sx_ref[0], sy_ref[0], sz_ref[0]
+    px, py, pz = px_ref[0], py_ref[0], pz_ref[0]
+    f32 = sx.dtype
+    zero = jnp.zeros_like(sx)
+
+    for li in range(n_lights):
+        if not light_on[li]:
+            occ_s_ref[0, li] = zero
+            occ_o_ref[0, li] = zero
+            continue
+        tlx = lg_ref[li, 0] - px
+        tly = lg_ref[li, 1] - py
+        tlz = lg_ref[li, 2] - pz
+        qa = tlx * tlx + tly * tly + tlz * tlz
+        qa_ok = qa > _DIV_EPS
+
+        def shadow_sphere(j, occ):
+            scx = ssph_ref[0, li, j, 0]
+            scy = ssph_ref[0, li, j, 1]
+            scz = ssph_ref[0, li, j, 2]
+            r = ssph_ref[0, li, j, 3]
+            socx = sx - scx
+            socy = sy - scy
+            socz = sz - scz
+            qb = 2.0 * (tlx * socx + tly * socy + tlz * socz)
+            qcs = socx * socx + socy * socy + socz * socz - r * r
+            f_end = qa + qb + qcs
+            # all-float select chain: Mosaic can't truncate a (BR, 128) i8
+            # vector to i1, so the bool jnp.where(inside_src, ...) used by
+            # accel._segment_occluded is expressed as a lerp on {0, 1}
+            inside_f = (qcs < 0.0).astype(f32)
+            blocked_in = (f_end > 0.0).astype(f32)
+            disc_ok = (qb * qb >= 4.0 * qa * qcs).astype(f32)
+            vertex_in = ((qb < 0.0) & (-qb < 2.0 * qa)).astype(f32)
+            blocked_out = jnp.maximum((f_end < 0.0).astype(f32),
+                                      disc_ok * vertex_in)
+            blocked = inside_f * blocked_in + (1.0 - inside_f) * blocked_out
+            blocked = blocked * qa_ok.astype(f32) \
+                * (ssph_ref[0, li, j, 4] > 0.5).astype(f32)
+            return jnp.maximum(occ, blocked)
+
+        occ_s = _loop(n_ks, shadow_sphere, zero) if n_ks else zero
+
+        def shadow_box(j, occ):
+            bm0 = sbox_ref[0, li, j, 0]
+            bm1 = sbox_ref[0, li, j, 1]
+            bm2 = sbox_ref[0, li, j, 2]
+            bx0 = sbox_ref[0, li, j, 3]
+            bx1 = sbox_ref[0, li, j, 4]
+            bx2 = sbox_ref[0, li, j, 5]
+            cx = sbox_ref[0, li, j, 6]
+            cy = sbox_ref[0, li, j, 7]
+            cz = sbox_ref[0, li, j, 8]
+            r00 = sbox_ref[0, li, j, 9]
+            r01 = sbox_ref[0, li, j, 10]
+            r02 = sbox_ref[0, li, j, 11]
+            r10 = sbox_ref[0, li, j, 12]
+            r11 = sbox_ref[0, li, j, 13]
+            r12 = sbox_ref[0, li, j, 14]
+            r20 = sbox_ref[0, li, j, 15]
+            r21 = sbox_ref[0, li, j, 16]
+            r22 = sbox_ref[0, li, j, 17]
+            wx = sx - cx
+            wy = sy - cy
+            wz = sz - cz
+            rox = r00 * wx + r10 * wy + r20 * wz
+            roy = r01 * wx + r11 * wy + r21 * wz
+            roz = r02 * wx + r12 * wy + r22 * wz
+            rdx = r00 * tlx + r10 * tly + r20 * tlz
+            rdy = r01 * tlx + r11 * tly + r21 * tlz
+            rdz = r02 * tlx + r12 * tly + r22 * tlz
+            ix, iy, iz = _inv_safe(rdx), _inv_safe(rdy), _inv_safe(rdz)
+            tax, tbx = (bm0 - rox) * ix, (bx0 - rox) * ix
+            tay, tby = (bm1 - roy) * iy, (bx1 - roy) * iy
+            taz, tbz = (bm2 - roz) * iz, (bx2 - roz) * iz
+            t1 = jnp.maximum(jnp.minimum(tax, tbx),
+                             jnp.maximum(jnp.minimum(tay, tby),
+                                         jnp.minimum(taz, tbz)))
+            t2 = jnp.minimum(jnp.maximum(tax, tbx),
+                             jnp.minimum(jnp.maximum(tay, tby),
+                                         jnp.maximum(taz, tbz)))
+            ok = (t1 < t2) & (t2 > 0.0) & (sbox_ref[0, li, j, 18] > 0.5)
+            t = jnp.where(ok & (t1 < 0.0), t2, t1)
+            blocked = ok & (t > 0.0) & (t < 1.0)
+            return jnp.maximum(occ, blocked.astype(f32))
+
+        occ_o = _loop(n_ksb, shadow_box, zero) if n_ksb else zero
+
+        for p in range(n_pln):
+            pnx = pln_ref[p, 0]
+            pny = pln_ref[p, 1]
+            pnz = pln_ref[p, 2]
+            off = pln_ref[p, 3]
+            nd = pnx * tlx + pny * tly + pnz * tlz
+            no = pnx * sx + pny * sy + pnz * sz
+            t = (off - no) * _inv_safe(nd)
+            blocked = (jnp.abs(nd) > 1.0e-9) & (t > 0.0) & (t < 1.0)
+            occ_o = jnp.maximum(occ_o, blocked.astype(f32))
+
+        occ_s_ref[0, li] = occ_s
+        occ_o_ref[0, li] = occ_o
+
+
+# ---------------------------------------------------------------------------
+# Row packing (XLA, tiny)
+# ---------------------------------------------------------------------------
+
+def _pad_cols(x, width: int):
+    return jnp.pad(x, ((0, 0), (0, 0), (0, width - x.shape[-1])))
+
+
+def _primary_sphere_rows(scene: Scene, o0, p_idx, p_valid):
+    """(T, Kp, 8) kernel rows from the survivor lists: oc, qc precomputed."""
+    rows = _gather_tile_rows(_sphere_table(scene), p_idx)   # (T, Kp, 6)
+    oc = o0[None, None, :] - rows[..., 0:3]
+    qc = jnp.sum(oc * oc, axis=-1) - rows[..., 3] * rows[..., 3]
+    return jnp.concatenate([
+        oc, qc[..., None], rows[..., 4:6],
+        p_valid.astype(rows.dtype)[..., None],
+        jnp.zeros_like(qc)[..., None]], axis=-1)
+
+
+def _primary_box_rows(scene: Scene, o0, b_idx, b_valid):
+    """(T, Kb, 24) kernel rows: mins/maxs, local-space origin, rot, ids."""
+    rows = _gather_tile_rows(_box_table(scene), b_idx)      # (T, Kb, 20)
+    w = o0[None, None, :] - rows[..., 6:9]                  # o0 - pos
+    rot = rows[..., 9:18].reshape(rows.shape[:2] + (3, 3))
+    ro = jnp.einsum("tkij,tki->tkj", rot, w)                # R^T w
+    out = jnp.concatenate([
+        rows[..., 0:6], ro, rows[..., 9:18], rows[..., 18:20],
+        b_valid.astype(rows.dtype)[..., None]], axis=-1)    # (T, Kb, 21)
+    return _pad_cols(out, 24)
+
+
+def _plane_table(scene: Scene, o0, n_sph: int, n_box: int):
+    """(P, 16) [n(3) off un(3) off-n.o0 mat gid ...]; raw normal for the
+    candidate t (bit-matching accel's plane_candidates), unit for the
+    output normal."""
+    pln = scene.planes
+    p = pln.count
+    dtype = pln.normal.dtype if p else jnp.float32
+    tab = jnp.zeros((max(p, 1), 16), dtype)
+    if p:
+        nrm = pln.normal
+        length = jnp.sqrt(jnp.maximum(
+            jnp.sum(nrm * nrm, axis=-1, keepdims=True), _SQRT_EPS))
+        no = jnp.sum(nrm * o0[None, :], axis=-1)
+        tab = tab.at[:, 0:3].set(nrm)
+        tab = tab.at[:, 3].set(pln.offset)
+        tab = tab.at[:, 4:7].set(nrm / length)
+        tab = tab.at[:, 7].set(pln.offset - no)
+        tab = tab.at[:, 8].set(pln.material_id.astype(dtype))
+        tab = tab.at[:, 9].set(n_sph + n_box
+                               + jnp.arange(p, dtype=dtype))
+    return tab
+
+
+def _shadow_sphere_rows(scene: Scene, s_idx, s_valid):
+    """(T, Ks, 8) [c(3) r valid ...]."""
+    tab = jnp.concatenate([scene.spheres.center,
+                           scene.spheres.radius[:, None]], axis=-1)
+    rows = _gather_tile_rows(tab, s_idx)                    # (T, Ks, 4)
+    out = jnp.concatenate([rows, s_valid.astype(rows.dtype)[..., None]],
+                          axis=-1)
+    return _pad_cols(out, 8)
+
+
+def _shadow_box_rows(scene: Scene, sb_idx, sb_valid):
+    """(T, Ksb, 24) [mins maxs pos rot9 valid ...]."""
+    rows = _gather_tile_rows(_box_table(scene), sb_idx)     # (T, Ksb, 20)
+    out = jnp.concatenate([rows[..., 0:18],
+                           sb_valid.astype(rows.dtype)[..., None]], axis=-1)
+    return _pad_cols(out, 24)
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _ray_blocks(x, t_tiles: int, br: int):
+    """(R, 3) tile-major -> three (T, BR, LANE) component arrays."""
+    comps = x.reshape(t_tiles, br, LANE, 3)
+    return comps[..., 0], comps[..., 1], comps[..., 2]
+
+
+def culled_geometry_pallas(scene: Scene, origins, dirs, tile_p: int, kp: int,
+                           ks: int, shadow_lights: tuple | None = None,
+                           hot_m: int = 0, kb: int = 0, ksb: int = 0):
+    """accel.culled_geometry with the narrow phases as Mosaic kernels.
+
+    Same arguments, same return contract: (Hit (R,), occluded (R, L),
+    CullAux). Requires tile_p % 128 == 0 (the ray tile maps onto
+    (tile_p/128, 128) vregs).
+    """
+    assert tile_p % LANE == 0, \
+        f"culled_pallas needs tile_p % {LANE} == 0 (got {tile_p})"
+    r_total = origins.shape[0]
+    t_tiles = r_total // tile_p
+    br = tile_p // LANE
+    dtype = origins.dtype
+    n_sph = scene.spheres.count
+    n_box = scene.boxes.count
+    n_pln = scene.planes.count
+    n_lights = scene.lights.count
+    o0 = origins[0]
+    kb = min(kb, n_box) if kb > 0 else n_box
+    ksb = min(ksb, n_box) if ksb > 0 else n_box
+    interpret = _use_interpret()
+
+    dirs_t = dirs.reshape(t_tiles, tile_p, 3)
+    axis, cos_half = tile_cones(dirs_t)
+
+    # ---- broad phase (identical to accel.culled_geometry)
+    if n_sph:
+        pmask = sphere_vs_cone(o0, axis, cos_half, scene.spheres.center,
+                               scene.spheres.radius)
+        p_idx, p_valid, p_count = compact_mask(pmask, kp)
+        sph_rows = _primary_sphere_rows(scene, o0, p_idx, p_valid)
+    else:
+        p_idx = jnp.zeros((t_tiles, 0), jnp.int32)
+        p_valid = jnp.zeros((t_tiles, 0), bool)
+        p_count = jnp.zeros((t_tiles,), jnp.int32)
+        sph_rows = jnp.zeros((t_tiles, 1, 8), dtype)
+    kp_eff = p_idx.shape[-1]
+
+    if n_box:
+        bc_bs, br_bs = box_bounding_spheres(scene)
+        bmask = sphere_vs_cone(o0, axis, cos_half, bc_bs, br_bs)
+        b_idx, b_valid, b_count = compact_mask(bmask, kb)
+        box_rows = _primary_box_rows(scene, o0, b_idx, b_valid)
+    else:
+        b_idx = jnp.zeros((t_tiles, 0), jnp.int32)
+        b_valid = jnp.zeros((t_tiles, 0), bool)
+        b_count = jnp.zeros((t_tiles,), jnp.int32)
+        box_rows = jnp.zeros((t_tiles, 1, 24), dtype)
+    kb_eff = b_idx.shape[-1]
+
+    pln_tab = _plane_table(scene, o0, n_sph, n_box)
+
+    dx, dy, dz = _ray_blocks(dirs, t_tiles, br)
+
+    # ---- kernel A: primary narrow phase
+    ray_spec = pl.BlockSpec((1, br, LANE), lambda t: (t, 0, 0),
+                            memory_space=pltpu.VMEM)
+    sph_spec = pl.BlockSpec((1,) + sph_rows.shape[1:], lambda t: (t, 0, 0),
+                            memory_space=pltpu.VMEM)
+    box_spec = pl.BlockSpec((1,) + box_rows.shape[1:], lambda t: (t, 0, 0),
+                            memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    rblk = functools.partial(jax.ShapeDtypeStruct, (t_tiles, br, LANE))
+    outs = pl.pallas_call(
+        functools.partial(_primary_kernel, kp_eff, kb_eff, n_pln),
+        grid=(t_tiles,),
+        in_specs=[sph_spec, box_spec, full] + [ray_spec] * 3,
+        out_specs=[ray_spec] * 8,
+        out_shape=[rblk(dtype)] * 8,
+        interpret=interpret,
+    )(sph_rows, box_rows, pln_tab, dx, dy, dz)
+    t_b, nx_b, ny_b, nz_b, ins_b, mat_b, gid_b, slot_b = outs
+
+    t_flat = t_b.reshape(-1)
+    n = jnp.stack([nx_b.reshape(-1), ny_b.reshape(-1), nz_b.reshape(-1)],
+                  axis=-1)
+    hit_mask = t_flat < MISS_T
+    in_flat = (ins_b.reshape(-1) > 0.5) & hit_mask
+    mat_flat = jnp.where(hit_mask, mat_b.reshape(-1).astype(jnp.int32), 0)
+    gid_flat = jnp.where(hit_mask, gid_b.reshape(-1).astype(jnp.int32), -1)
+    slot_flat = slot_b.reshape(t_tiles, tile_p).astype(jnp.int32)
+
+    is_sph_w = hit_mask & (gid_flat >= 0) & (gid_flat < n_sph)
+    is_box_w = hit_mask & (gid_flat >= n_sph) & (gid_flat < n_sph + n_box)
+    j_local = jnp.where(is_sph_w.reshape(t_tiles, tile_p), slot_flat, -1)
+    jb_local = jnp.where(is_box_w.reshape(t_tiles, tile_p), slot_flat, -1)
+
+    t_for_p = jnp.where(hit_mask, t_flat, 0.0)
+    p = origins + t_for_p[:, None] * dirs
+    hit = Hit(t=t_flat, p=p, n=n, inside=in_flat,
+              material_id=mat_flat, obj_id=gid_flat, hit=hit_mask)
+
+    # ---- shadow broad phase per light (identical to accel) + kernel B
+    shadow_org = hit.p + hit.n * SHADOW_EPS
+    so_t = shadow_org.reshape(t_tiles, tile_p, 3)
+    p_t = hit.p.reshape(t_tiles, tile_p, 3)
+
+    light_on = tuple(
+        (shadow_lights is None or shadow_lights[li]) for li in
+        range(n_lights))
+    s_counts = []
+    s_overflow = []
+    sb_counts = []
+    sb_overflow = []
+    ssph_rows = []   # per light (T, Ks, 8)
+    sbox_rows = []   # per light (T, Ksb, 24)
+    hot_infos = []   # per light (is_hot (T,), occ_full (T, P)) or None
+    zero_c = jnp.zeros((t_tiles,), jnp.int32)
+    zero_o = jnp.zeros((), jnp.int32)
+    ks_eff = min(ks, n_sph) if n_sph else 0
+    ksb_eff = ksb if n_box else 0
+    if n_box:
+        bc_bs, br_bs = box_bounding_spheres(scene)
+    for li in range(n_lights):
+        if not light_on[li]:
+            s_counts.append(zero_c)
+            s_overflow.append(zero_o)
+            sb_counts.append(zero_c)
+            sb_overflow.append(zero_o)
+            ssph_rows.append(jnp.zeros((t_tiles, max(ks_eff, 1), 8), dtype))
+            sbox_rows.append(jnp.zeros((t_tiles, max(ksb_eff, 1), 24), dtype))
+            hot_infos.append(None)
+            continue
+        lpos = scene.lights.position[li]
+        if n_sph:
+            smask = shadow_cull_mask(scene, shadow_org, hit_mask, tile_p,
+                                     lpos)
+            s_idx, s_valid, s_count = compact_mask(smask, ks)
+            s_counts.append(s_count)
+            ssph_rows.append(_shadow_sphere_rows(scene, s_idx, s_valid))
+            if hot_m > 0:
+                _, hot_ids = jax.lax.top_k(s_count, hot_m)
+                occ_h = _segment_occluded(
+                    jnp.take(so_t, hot_ids, axis=0),
+                    jnp.take(p_t, hot_ids, axis=0), lpos,
+                    scene.spheres.center[None, :, 0],
+                    scene.spheres.center[None, :, 1],
+                    scene.spheres.center[None, :, 2],
+                    scene.spheres.radius[None, :],
+                    jnp.ones((1, n_sph), bool))              # (M, P)
+                is_hot = jnp.zeros((t_tiles,), bool).at[hot_ids].set(True)
+                occ_full = jnp.zeros((t_tiles, tile_p), bool) \
+                    .at[hot_ids].set(occ_h)
+                hot_infos.append((is_hot, occ_full))
+                s_overflow.append(jnp.sum((s_count > ks) & ~is_hot,
+                                          dtype=jnp.int32))
+            else:
+                hot_infos.append(None)
+                s_overflow.append(jnp.sum(s_count > ks, dtype=jnp.int32))
+        else:
+            s_counts.append(zero_c)
+            s_overflow.append(zero_o)
+            ssph_rows.append(jnp.zeros((t_tiles, max(ks_eff, 1), 8), dtype))
+            hot_infos.append(None)
+        if n_box:
+            bsmask = shadow_cull_mask(scene, shadow_org, hit_mask, tile_p,
+                                      lpos, centers=bc_bs, radii=br_bs)
+            sb_idx, sb_valid, sb_cnt = compact_mask(bsmask, ksb)
+            sbox_rows.append(_shadow_box_rows(scene, sb_idx, sb_valid))
+            sb_counts.append(sb_cnt)
+            sb_overflow.append(jnp.sum(sb_cnt > ksb, dtype=jnp.int32))
+        else:
+            sbox_rows.append(jnp.zeros((t_tiles, max(ksb_eff, 1), 24), dtype))
+            sb_counts.append(zero_c)
+            sb_overflow.append(zero_o)
+
+    if n_lights and any(light_on):
+        ssph = jnp.stack(ssph_rows, axis=1)        # (T, L, Ks, 8)
+        sbox = jnp.stack(sbox_rows, axis=1)        # (T, L, Ksb, 24)
+        lg = jnp.zeros((n_lights, 8), dtype).at[:, :3].set(
+            scene.lights.position)
+        sx, sy, sz = _ray_blocks(shadow_org, t_tiles, br)
+        px, py, pz = _ray_blocks(hit.p, t_tiles, br)
+
+        n_ks = ssph.shape[2] if n_sph else 0
+        n_ksb = sbox.shape[2] if n_box else 0
+        ssph_spec = pl.BlockSpec((1,) + ssph.shape[1:], lambda t: (t, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        sbox_spec = pl.BlockSpec((1,) + sbox.shape[1:], lambda t: (t, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        occ_spec = pl.BlockSpec((1, n_lights, br, LANE),
+                                lambda t: (t, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        occ_shape = jax.ShapeDtypeStruct((t_tiles, n_lights, br, LANE), dtype)
+        occ_s, occ_o = pl.pallas_call(
+            functools.partial(_shadow_kernel, n_lights, light_on, n_ks,
+                              n_ksb, n_pln),
+            grid=(t_tiles,),
+            in_specs=[full, ssph_spec, sbox_spec, full] + [ray_spec] * 6,
+            out_specs=[occ_spec] * 2,
+            out_shape=[occ_shape] * 2,
+            interpret=interpret,
+        )(lg, ssph, sbox, pln_tab, sx, sy, sz, px, py, pz)
+
+        occ_s = occ_s.reshape(t_tiles, n_lights, tile_p) > 0.5
+        occ_o = occ_o.reshape(t_tiles, n_lights, tile_p) > 0.5
+        occ_cols = []
+        for li in range(n_lights):
+            col_s = occ_s[:, li]
+            if hot_infos[li] is not None:
+                is_hot, occ_full = hot_infos[li]
+                col_s = jnp.where(is_hot[:, None], occ_full, col_s)
+            occ_cols.append((col_s | occ_o[:, li]).reshape(-1))
+        occluded = jnp.stack(occ_cols, axis=-1)
+    else:
+        occluded = jnp.zeros((r_total, n_lights), bool)
+
+    stack_or = lambda xs, shape: (jnp.stack(xs) if n_lights
+                                  else jnp.zeros(shape, jnp.int32))
+    aux = CullAux(p_idx=p_idx, p_valid=p_valid, p_count=p_count,
+                  s_count=stack_or(s_counts, (0, t_tiles)),
+                  s_overflow=stack_or(s_overflow, (0,)),
+                  j_local=j_local,
+                  b_idx=b_idx, b_valid=b_valid, b_count=b_count,
+                  sb_count=stack_or(sb_counts, (0, t_tiles)),
+                  sb_overflow=stack_or(sb_overflow, (0,)),
+                  jb_local=jb_local)
+    return hit, occluded, aux
+
+
+# ---------------------------------------------------------------------------
+# Custom VJP: accel.py's tile-structured analytic backward, reused verbatim
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+def culled_pallas_geometry_op(scene: Scene, origins, dirs, tile_p: int,
+                              kp: int, ks: int,
+                              shadow_lights: tuple | None = None,
+                              hot_m: int = 0, kb: int = 0, ksb: int = 0):
+    return culled_geometry_pallas(scene, origins, dirs, tile_p, kp, ks,
+                                  shadow_lights, hot_m, kb, ksb)
+
+
+def _cp_fwd(scene, origins, dirs, tile_p, kp, ks, shadow_lights, hot_m,
+            kb, ksb):
+    hit, occ, aux = culled_geometry_pallas(scene, origins, dirs, tile_p, kp,
+                                           ks, shadow_lights, hot_m, kb, ksb)
+    return (hit, occ, aux), (scene, origins, dirs, hit, aux)
+
+
+def _cp_bwd(tile_p, kp, ks, shadow_lights, hot_m, kb, ksb, res, g):
+    from openglraytracer_tpu.ops.accel import _culled_bwd
+    return _culled_bwd(tile_p, kp, ks, shadow_lights, hot_m, kb, ksb, res, g)
+
+
+culled_pallas_geometry_op.defvjp(_cp_fwd, _cp_bwd)

@@ -125,9 +125,11 @@ def trace_rays_fast(scene: Scene, origins, dirs, depth: int = 0,
     autodiff re-scanning every object. All primitive types (spheres, OBBs,
     planes) on the 'xla' engine.
 
-    engine: 'xla' (default), 'pallas' (fused Mosaic kernel forward), or
+    engine: 'xla' (default), 'pallas' (fused Mosaic kernel forward),
     'culled' (tile-cone broad phase, ops/accel.py — requires cull =
-    (tile_p, kp, ks) and rays in tile-major order with a shared origin).
+    (tile_p, kp, ks) and rays in tile-major order with a shared origin), or
+    'culled_pallas' (same broad phase + VJP, narrow phases as Mosaic
+    kernels scanning the survivor lists in VMEM, ops/pallas_culled.py).
     Bounce children of a culled trace fall back to 'xla' (bounce rays have
     no shared origin to build cones from).
 
@@ -143,17 +145,22 @@ def trace_rays_fast(scene: Scene, origins, dirs, depth: int = 0,
         bounce_mask = static_bounce_mask(scene)
     mat_rows = None
     ovf = jnp.zeros((), jnp.int32)
-    if engine == "culled":
+    if engine in ("culled", "culled_pallas"):
         from openglraytracer_tpu.ops.accel import (cull_overflow_count,
                                                    culled_geometry_op,
                                                    culled_material_rows,
                                                    parse_cull_spec)
         assert cull is not None, \
-            "engine='culled' needs cull=(tile_p, kp, ks[, hot_m[, kb, ksb]])"
+            f"engine='{engine}' needs cull=(tile_p, kp, ks[, hot_m[, kb, ksb]])"
+        if engine == "culled_pallas":
+            from openglraytracer_tpu.ops.pallas_culled import (
+                culled_pallas_geometry_op as geo_op)
+        else:
+            geo_op = culled_geometry_op
         tile_p, kp, ks, hot_m, kb, ksb = parse_cull_spec(cull)
-        hit, occ, aux = culled_geometry_op(scene, origins, dirs,
-                                           tile_p, kp, ks, shadow_lights,
-                                           hot_m, kb, ksb)
+        hit, occ, aux = geo_op(scene, origins, dirs,
+                               tile_p, kp, ks, shadow_lights,
+                               hot_m, kb, ksb)
         mat_rows = culled_material_rows(scene, hit, aux, tile_p)
         ovf = cull_overflow_count(aux)
         child_engine = "xla"
@@ -464,25 +471,25 @@ def _render_jit(scene: Scene, camera: Camera, height: int, width: int,
                 bounce_mask: tuple = (True, True)):
     origins, dirs = generate_rays(camera, height, width)
 
-    if engine == "culled":
+    if engine in ("culled", "culled_pallas"):
         from openglraytracer_tpu.ops.accel import (parse_cull_spec,
                                                    tile_image, untile_image)
         assert cull is not None, \
-            "engine='culled' needs cull=((th, tw), kp, ks[, hot_m[, kb, ksb]])"
+            f"engine='{engine}' needs cull=((th, tw), kp, ks[, hot_m[, kb, ksb]])"
         assert bounce != "stack", \
-            "bounce='stack' is not supported with engine='culled' (culled " \
+            f"bounce='stack' is not supported with engine='{engine}' (culled " \
             "primaries use the tree unroll; requesting the O(depth)-memory " \
             "stack engine here would silently get O(2^depth) memory — use " \
             "engine='xla' or 'pallas' for deep recursion)"
         assert row_block is None, \
-            "row_block is not supported with engine='culled' (the culled " \
+            f"row_block is not supported with engine='{engine}' (the culled " \
             "path is already tile-blocked); drop --row-block or use " \
             "engine='xla'"
         (th, tw), kp, ks, hot_m, kb, ksb = parse_cull_spec(cull)
         o = tile_image(origins, th, tw).reshape(-1, 3)
         d = tile_image(dirs, th, tw).reshape(-1, 3)
         out = trace_rays_fast(scene, o, d, depth, chunk_size=chunk_size,
-                              engine="culled",
+                              engine=engine,
                               cull=(th * tw, kp, ks, hot_m, kb, ksb),
                               shadow_lights=shadow_lights,
                               with_cull_stats=with_cull_stats,

@@ -60,12 +60,12 @@ def render_sharded(scene: Scene, camera: Camera, height: int, width: int,
     assert tile_w * mesh.shape[AXIS_Y] == width, \
         f"width {width} not divisible by mesh dy={mesh.shape[AXIS_Y]}"
 
-    if engine == "culled":
+    if engine in ("culled", "culled_pallas"):
         from openglraytracer_tpu.ops.accel import (parse_cull_spec,
                                                    tile_image, untile_image)
         from openglraytracer_tpu.ops.render import trace_rays_fast
         assert cull is not None, \
-            "engine='culled' needs cull=((th, tw), kp, ks[, hot_m[, kb, ksb]])"
+            f"engine='{engine}' needs cull=((th, tw), kp, ks[, hot_m[, kb, ksb]])"
         (cth, ctw), kp, ks, hot_m, kb, ksb = parse_cull_spec(cull)
 
         def tile_fn(scene_rep, o_tile, d_tile):
@@ -73,7 +73,7 @@ def render_sharded(scene: Scene, camera: Camera, height: int, width: int,
             d = tile_image(d_tile, cth, ctw).reshape(-1, 3)
             colors, ovf = trace_rays_fast(
                 scene_rep, o, d, depth,
-                chunk_size=chunk_size, engine="culled",
+                chunk_size=chunk_size, engine=engine,
                 cull=(cth * ctw, kp, ks, hot_m, kb, ksb),
                 shadow_lights=shadow_lights, with_cull_stats=True,
                 bounce_mask=bounce_mask)
