@@ -173,6 +173,14 @@ def cmd_animate(args):
         print(f"wrote {args.gif} ({len(ims)} frames @ {args.fps:g} fps)")
 
 
+def cmd_view(args):
+    from openglraytracer_tpu.utils.viewer import run_viewer
+    run_viewer(args.height, args.width, depth=args.depth,
+               engine=args.engine, cull_tile=args.cull_tile,
+               port=args.port, fps_cap=args.fps_cap,
+               max_frames=args.frames, start_time=args.start_time)
+
+
 def cmd_fit(args):
     import numpy as np
     import jax.numpy as jnp
@@ -337,6 +345,25 @@ def main(argv=None):
     a.add_argument("--gif", default=None,
                    help="also assemble the frames into an animated GIF")
     a.set_defaults(fn=cmd_animate)
+
+    v = sub.add_parser("view", help="LIVE viewer: render the animated demo "
+                       "continuously and stream it over HTTP (MJPEG) — the "
+                       "reference's real-time window for a headless TPU host")
+    v.add_argument("--width", type=int, default=1280)
+    v.add_argument("--height", type=int, default=720)
+    v.add_argument("--depth", type=int, default=0)
+    v.add_argument("--engine", default="auto",
+                   choices=["auto", "xla", "pallas", "culled",
+                            "culled_pallas"])
+    v.add_argument("--cull-tile", type=int, default=8)
+    v.add_argument("--port", type=int, default=8000)
+    v.add_argument("--fps-cap", type=float, default=None,
+                   help="cap the render rate (the vsync analog, "
+                        "main.cpp:76); default: as fast as the chip goes")
+    v.add_argument("--frames", type=int, default=None,
+                   help="stop after N frames (default: run until Ctrl-C)")
+    v.add_argument("--start-time", type=float, default=0.0)
+    v.set_defaults(fn=cmd_view)
 
     f = sub.add_parser("fit", help="inverse-rendering fit")
     f.add_argument("--grid-side", type=int, default=4)

@@ -37,6 +37,22 @@ def main():
 
     ref = np.asarray(render(scene, cam, 16, 16))
     np.testing.assert_allclose(out, ref, atol=1e-6)
+
+    # The perf path too (VERDICT r2 next #7): culled engine on an OBB+sphere
+    # scene (reference world, raytrace_compute.glsl:261-320) through the same
+    # 2-process mesh + DCN gather, checked against the local culled render.
+    from openglraytracer_tpu.models.animated import reference_frame
+    from openglraytracer_tpu.ops.accel import suggest_cull_config
+
+    scene2, cam2 = reference_frame(1.2)
+    cull = suggest_cull_config(scene2, cam2, 16, 16, (4, 4), headroom=2.0)
+    img2 = render_sharded(scene2, cam2, 16, 16, mesh=mesh,
+                          engine="culled", cull=cull)
+    assert not img2.is_fully_addressable
+    out2 = gather_image(img2)
+    ref2 = np.asarray(render(scene2, cam2, 16, 16, engine="culled",
+                             cull=cull))
+    np.testing.assert_allclose(out2, ref2, atol=1e-6)
     print(f"proc {pid} OK", flush=True)
 
 
