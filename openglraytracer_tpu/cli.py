@@ -97,6 +97,17 @@ def cmd_render(args):
         print(f"cull: tile={args.cull_tile} "
               + " ".join(f"{k}={v}" for k, v in
                          zip(("kp", "ks", "hot_m", "kb", "ksb"), spec[1:])))
+        if args.child_cull:
+            from openglraytracer_tpu.ops.accel import suggest_child_cull_config
+            if depth <= 0:
+                raise SystemExit("--child-cull needs --depth >= 1 "
+                                 "(it accelerates bounce children)")
+            cspec = suggest_child_cull_config(scene, cam, h, w, spec)
+            kwargs["child_cull"] = cspec
+            print(f"child cull: "
+                  + " ".join(f"{k}={v}" for k, v in
+                             zip(("kp", "ks", "hot_m", "kb", "ksb"),
+                                 cspec[1:])))
     with _profiled(args.profile_dir):
         img = render(scene, cam, h, w, **kwargs)
         img.block_until_ready()
@@ -316,6 +327,9 @@ def main(argv=None):
                    choices=["auto", "xla", "pallas", "culled", "culled_pallas"])
     r.add_argument("--cull-tile", type=int, default=32,
                    help="pixel tile side for engine=culled")
+    r.add_argument("--child-cull", action="store_true",
+                   help="cull BOUNCE children too (bounce cones; needs "
+                        "engine=culled* and depth >= 1)")
     r.add_argument("--chunk-size", type=int, default=512)
     r.add_argument("--bounce", default="tree", choices=["tree", "stack"],
                    help="bounce engine: 'tree' (static unroll) or 'stack' "

@@ -101,7 +101,8 @@ def tile_cones(dirs):
     return axis, jnp.clip(cos_half, -1.0, 1.0)
 
 
-def sphere_vs_cone(apex, axis, cos_half, centers, radii, max_dist=None):
+def sphere_vs_cone(apex, axis, cos_half, centers, radii, max_dist=None,
+                   expand=None):
     """Conservative overlap of spheres with per-tile cones.
 
     apex (T, 3) or (3,); axis (T, 3); cos_half (T,); centers (N, 3);
@@ -113,6 +114,11 @@ def sphere_vs_cone(apex, axis, cos_half, centers, radii, max_dist=None):
     sin(asin) = r/|v|, all sqrt/arith — no trig. A cone with
     cos_half <= 0 (half-angle >= 90 deg: spherically non-convex) keeps
     everything, staying conservative.
+
+    expand (T,): per-tile Minkowski expansion of every sphere's radius —
+    used by secondary-ray bundles whose origins span a bbox rather than a
+    point (a ray from any point of a box B hits S iff the ray from B's
+    center hits S dilated by B's half-diagonal).
     """
     apex = jnp.atleast_2d(apex)                          # (T or 1, 3)
     vx = centers[None, :, 0] - apex[:, 0:1]              # (T, N)
@@ -122,17 +128,51 @@ def sphere_vs_cone(apex, axis, cos_half, centers, radii, max_dist=None):
     inv_d = jax.lax.rsqrt(jnp.maximum(d2, _SQRT_EPS))
     ca = (axis[:, 0:1] * vx + axis[:, 1:2] * vy + axis[:, 2:3] * vz) * inv_d
 
-    r2 = (radii * radii)[None, :]
-    inside = d2 <= r2                                    # apex inside sphere
-    sin_r = jnp.minimum(radii[None, :] * inv_d, 1.0)
+    r_eff = radii[None, :] if expand is None \
+        else radii[None, :] + expand[:, None]            # (T-or-1, N)
+    inside = d2 <= r_eff * r_eff                         # apex inside sphere
+    sin_r = jnp.minimum(r_eff * inv_d, 1.0)
     cos_r = jnp.sqrt(jnp.maximum(1.0 - sin_r * sin_r, 0.0))
     ch = cos_half[:, None]
     sh = jnp.sqrt(jnp.maximum(1.0 - ch * ch, 0.0))
     keep = ca >= ch * cos_r - sh * sin_r
     keep = keep | inside | (ch <= 0.0)
     if max_dist is not None:
-        keep = keep & (jnp.sqrt(d2) - radii[None, :] <= max_dist[:, None])
+        keep = keep & (jnp.sqrt(d2) - r_eff <= max_dist[:, None])
     return keep
+
+
+def bounce_cones(origins_t, dirs_t, active_t):
+    """Conservative per-tile cone for a SECONDARY-ray bundle (reflection /
+    refraction children of a culled trace, VERDICT r2 next #4): unlike
+    primary rays there is no shared apex, so the bundle is bounded by the
+    bbox of its active origins (apex = bbox center, Minkowski expansion
+    rho = bbox half-diagonal) plus a direction cone over the active rays.
+
+    origins_t, dirs_t: (T, P, 3); active_t: (T, P) — rays that can
+    contribute (parent hit with a positive branch weight AND a nonzero
+    direction; TIR refract() yields the zero vector, which misses
+    everything in the narrow phase and must not poison the cone).
+
+    Returns (apex (T, 3), axis (T, 3), cos_half (T,), rho (T,),
+    empty (T,)). Tiles with no active ray are `empty` (keep nothing).
+    """
+    dtype = origins_t.dtype
+    big = jnp.asarray(INF_T, dtype)
+    am = active_t[..., None]
+    bmin = jnp.min(jnp.where(am, origins_t, big), axis=1) - _BBOX_MARGIN
+    bmax = jnp.max(jnp.where(am, origins_t, -big), axis=1) + _BBOX_MARGIN
+    apex = 0.5 * (bmin + bmax)
+    rho = 0.5 * jnp.sqrt(jnp.maximum(
+        jnp.sum(jnp.square(bmax - bmin), -1), _SQRT_EPS))
+
+    s = jnp.sum(jnp.where(am, dirs_t, 0.0), axis=1)
+    axis = s * jax.lax.rsqrt(jnp.maximum(jnp.sum(s * s, -1, keepdims=True),
+                                         _SQRT_EPS))
+    dots = jnp.sum(axis[:, None, :] * dirs_t, -1)
+    cos_half = jnp.min(jnp.where(active_t, dots, 1.0), axis=1)
+    empty = ~jnp.any(active_t, axis=1)
+    return apex, axis, jnp.clip(cos_half, -1.0, 1.0), rho, empty
 
 
 def compact_mask(mask, k: int):
@@ -297,15 +337,21 @@ def _rot_tkp(rows, vx, vy, vz, transpose: bool):
             r[6] * vx + r[7] * vy + r[8] * vz)
 
 
-def _box_narrow(rows, b_valid, o0, dirs_t):
+def _box_narrow(rows, b_valid, o0, dirs_t, origins_t=None):
     """Primary box narrow phase over tile survivors: shared pinhole origin
-    o0 (3,), dirs_t (T, P, 3). Returns per-candidate (t, ok, inside,
+    o0 (3,) — or per-ray origins_t (T, P, 3) for secondary-ray bundles —
+    dirs_t (T, P, 3). Returns per-candidate (t, ok, inside,
     n (3 components)) in (T, Kb, P) layout, normals oriented exactly as
     intersect.box_candidates (y-before-z face-equality pick, sign from the
     local-space direction)."""
-    wx = (o0[0] - rows[..., 6])[..., None]                  # (T, Kb, 1)
-    wy = (o0[1] - rows[..., 7])[..., None]
-    wz = (o0[2] - rows[..., 8])[..., None]
+    if origins_t is None:
+        wx = (o0[0] - rows[..., 6])[..., None]              # (T, Kb, 1)
+        wy = (o0[1] - rows[..., 7])[..., None]
+        wz = (o0[2] - rows[..., 8])[..., None]
+    else:
+        wx = origins_t[..., 0][:, None, :] - rows[..., 6:7]  # (T, Kb, P)
+        wy = origins_t[..., 1][:, None, :] - rows[..., 7:8]
+        wz = origins_t[..., 2][:, None, :] - rows[..., 8:9]
     rox, roy, roz = _rot_tkp(rows, wx, wy, wz, transpose=True)
     dx = dirs_t[..., 0][:, None, :]                         # (T, 1, P)
     dy = dirs_t[..., 1][:, None, :]
@@ -395,11 +441,13 @@ def parse_cull_spec(cull):
 
 def culled_geometry(scene: Scene, origins, dirs, tile_p: int, kp: int,
                     ks: int, shadow_lights: tuple | None = None,
-                    hot_m: int = 0, kb: int = 0, ksb: int = 0):
+                    hot_m: int = 0, kb: int = 0, ksb: int = 0,
+                    active=None):
     """Closest hit + all-light occlusion with tile-cone culling.
 
     origins, dirs: (R, 3) in TILE-MAJOR order (tile_image), R = T * tile_p;
-    every origin must be the same point (primary pinhole rays). dirs unit.
+    every origin must be the same point (primary pinhole rays) UNLESS
+    ``active`` is given (secondary mode, below). dirs unit.
     shadow_lights: static per-light bools — False skips that light's shadow
     pass (shading.static_shadow_mask). hot_m > 0 gives the top-M
     highest-count tiles per light a dense all-spheres shadow pass so ks can
@@ -408,6 +456,15 @@ def culled_geometry(scene: Scene, origins, dirs, tile_p: int, kp: int,
     cull through their bounding spheres into separate (T, Kb) primary and
     (T, Ksb) shadow survivor lists; kb/ksb = 0 (the default) means dense
     (Kb = M). Returns (Hit (R,), occluded (R, L), CullAux).
+
+    active (R,) bool switches on SECONDARY-RAY mode (VERDICT r2 next #4 —
+    bounce children previously fell back to the dense O(R*N) scan): origins
+    are per-ray (reflection/refraction spawn points), the broad phase uses
+    bounce_cones (origin-bbox apex + Minkowski-expanded spheres + a
+    direction cone over active rays), and inactive rays — parents that
+    missed or have zero branch weight — are forced to MISS (their colors
+    are masked to zero by the blend anyway; forcing the miss keeps their
+    garbage out of the shadow-cone bboxes).
     """
     r_total = origins.shape[0]
     t_tiles = r_total // tile_p
@@ -415,16 +472,32 @@ def culled_geometry(scene: Scene, origins, dirs, tile_p: int, kp: int,
     n_sph = scene.spheres.count
     n_box = scene.boxes.count
     centers, radii = scene.spheres.center, scene.spheres.radius
+    shared = active is None
     o0 = origins[0]
     kb = min(kb, n_box) if kb > 0 else n_box
     ksb = min(ksb, n_box) if ksb > 0 else n_box
 
     dirs_t = dirs.reshape(t_tiles, tile_p, 3)
-    axis, cos_half = tile_cones(dirs_t)
+    if shared:
+        axis, cos_half = tile_cones(dirs_t)
+        apex, expand = o0, None
+        origins_t = None
+    else:
+        origins_t = origins.reshape(t_tiles, tile_p, 3)
+        # zero-direction rays (TIR refract) miss everything in the narrow
+        # phase (qa guard); exclude them from the cone so they can't blow
+        # it open to a half-space
+        act = active & (jnp.sum(dirs * dirs, -1) > _DIV_EPS)
+        act_t = act.reshape(t_tiles, tile_p)
+        apex, axis, cos_half, expand, empty_t = bounce_cones(
+            origins_t, dirs_t, act_t)
 
     if n_sph:
         # ---- primary broad phase
-        pmask = sphere_vs_cone(o0, axis, cos_half, centers, radii)
+        pmask = sphere_vs_cone(apex, axis, cos_half, centers, radii,
+                               expand=expand)
+        if not shared:
+            pmask = pmask & (~empty_t)[:, None]
         p_idx, p_valid, p_count = compact_mask(pmask, kp)
         kp_eff = p_idx.shape[-1]
         rows = _gather_tile_rows(_sphere_table(scene), p_idx)  # (T, Kp, 6)
@@ -442,9 +515,14 @@ def culled_geometry(scene: Scene, origins, dirs, tile_p: int, kp: int,
         # axis. (T, P, Kp) would put Kp on the lanes, which the TPU pads to
         # 128 — a Kp=24 scan would compute 5x dummy lanes. P is always
         # lane-aligned.
-        ocx = (o0[0] - cx)[:, :, None]                      # (T, Kp, 1): o-c
-        ocy = (o0[1] - cy)[:, :, None]
-        ocz = (o0[2] - cz)[:, :, None]
+        if shared:
+            ocx = (o0[0] - cx)[:, :, None]                  # (T, Kp, 1): o-c
+            ocy = (o0[1] - cy)[:, :, None]
+            ocz = (o0[2] - cz)[:, :, None]
+        else:  # per-ray origins: (T, 1, P) - (T, Kp, 1) -> (T, Kp, P)
+            ocx = origins_t[..., 0][:, None, :] - cx[:, :, None]
+            ocy = origins_t[..., 1][:, None, :] - cy[:, :, None]
+            ocz = origins_t[..., 2][:, None, :] - cz[:, :, None]
         qc = (ocx * ocx + ocy * ocy + ocz * ocz
               - (rad * rad)[:, :, None])                    # (T, Kp, 1)
         dx = dirs_t[..., 0][:, None, :]                     # (T, 1, P)
@@ -511,12 +589,16 @@ def culled_geometry(scene: Scene, origins, dirs, tile_p: int, kp: int,
     if n_box:
         btab = _box_table(scene)
         bc_bs, br_bs = box_bounding_spheres(scene)
-        bmask = sphere_vs_cone(o0, axis, cos_half, bc_bs, br_bs)
+        bmask = sphere_vs_cone(apex, axis, cos_half, bc_bs, br_bs,
+                               expand=expand)
+        if not shared:
+            bmask = bmask & (~empty_t)[:, None]
         b_idx, b_valid, b_count = compact_mask(bmask, kb)
         kb_eff = b_idx.shape[-1]
         brows = _gather_tile_rows(btab, b_idx)              # (T, Kb, 20)
         tb, okb, insb, (nbx, nby, nbz) = _box_narrow(brows, b_valid, o0,
-                                                     dirs_t)
+                                                     dirs_t,
+                                                     origins_t=origins_t)
         tbc = jnp.min(tb, axis=1)                           # (T, P)
         iota_b = jnp.arange(kb_eff, dtype=jnp.int32)[None, :, None]
         jb = jnp.min(jnp.where(tb == tbc[:, None, :], iota_b, kb_eff),
@@ -566,6 +648,15 @@ def culled_geometry(scene: Scene, origins, dirs, tile_p: int, kp: int,
         sw_t = sw.reshape(t_tiles, tile_p)
         j_local = jnp.where(sw_t, j_local, -1)
         jb_local = jnp.where(sw_t, jb_local, -1)
+
+    if not shared:
+        # inactive secondary rays are defined misses: their colors carry
+        # zero weight in the bounce blend, and masking here keeps their
+        # (arbitrary) hit points out of the shadow-cone bboxes below
+        t_flat = jnp.where(active, t_flat, INF_T)
+        act_full = active.reshape(t_tiles, tile_p)
+        j_local = jnp.where(act_full, j_local, -1)
+        jb_local = jnp.where(act_full, jb_local, -1)
 
     hit_mask = t_flat < MISS_T
     t_for_p = jnp.where(hit_mask, t_flat, 0.0)
@@ -913,6 +1004,39 @@ def _culled_bwd(tile_p, kp, ks, shadow_lights, hot_m, kb, ksb, res, g):
 culled_geometry_op.defvjp(_culled_fwd, _culled_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
+def bounce_culled_geometry_op(scene: Scene, origins, dirs, active,
+                              tile_p: int, kp: int, ks: int,
+                              shadow_lights: tuple | None = None,
+                              hot_m: int = 0, kb: int = 0, ksb: int = 0):
+    """culled_geometry in SECONDARY-RAY mode (per-ray origins + active mask)
+    with the same tile-structured analytic VJP as culled_geometry_op —
+    _culled_bwd never assumed a shared origin (_winner_recompute replays
+    per-ray), so the backward is shared verbatim; the active mask is a
+    boolean input whose cotangent is float0."""
+    return culled_geometry(scene, origins, dirs, tile_p, kp, ks,
+                           shadow_lights, hot_m, kb, ksb, active=active)
+
+
+def _bounce_culled_fwd(scene, origins, dirs, active, tile_p, kp, ks,
+                       shadow_lights, hot_m, kb, ksb):
+    hit, occ, aux = culled_geometry(scene, origins, dirs, tile_p, kp, ks,
+                                    shadow_lights, hot_m, kb, ksb,
+                                    active=active)
+    return (hit, occ, aux), (scene, origins, dirs, hit, aux, active.shape)
+
+
+def _bounce_culled_bwd(tile_p, kp, ks, shadow_lights, hot_m, kb, ksb,
+                       res, g):
+    *core, a_shape = res
+    g_scene, go, gd = _culled_bwd(tile_p, kp, ks, shadow_lights, hot_m,
+                                  kb, ksb, tuple(core), g)
+    return g_scene, go, gd, np.zeros(a_shape, jax.dtypes.float0)
+
+
+bounce_culled_geometry_op.defvjp(_bounce_culled_fwd, _bounce_culled_bwd)
+
+
 # ---------------------------------------------------------------------------
 # Host-side K sizing
 # ---------------------------------------------------------------------------
@@ -1079,6 +1203,14 @@ def suggest_cull_config(scene: Scene, camera, height: int, width: int,
         shadow_lights = static_shadow_mask(scene)
     p_count, s_count, pb_count, sb_count = cull_counts(
         scene, camera, height, width, tile, shadow_lights)
+    return _spec_from_counts(scene, p_count, s_count, pb_count, sb_count,
+                             tile, headroom, min_k)
+
+
+def _spec_from_counts(scene: Scene, p_count, s_count, pb_count, sb_count,
+                      tile, headroom: float, min_k: int):
+    """Size a cull spec from measured survivor counts (shared by
+    suggest_cull_config and suggest_child_cull_config)."""
     n = int(scene.spheres.count)
     n_box = int(scene.boxes.count)
 
@@ -1115,3 +1247,111 @@ def suggest_cull_config(scene: Scene, camera, height: int, width: int,
     if n == 0:
         hot_m = 0                       # the hot pass is a sphere-only path
     return (tile, kp, ks, hot_m) + box_spec()
+
+
+def bounce_cull_counts(scene: Scene, camera, height: int, width: int,
+                       cull, shadow_lights: tuple | None = None):
+    """Per-tile survivor counts for the REFLECTION children of a culled
+    trace — the sizing pass for secondary-ray culling (VERDICT r2 next #4).
+
+    Traces the primaries once (shadows off) with the parent spec ``cull``,
+    spawns the reflection bundle, and measures (1) bounce-cone sphere/box
+    survivor counts and (2) per-light shadow-cone counts from the children's
+    own hit points (obtained by an exact child pass at Kp = measured max).
+    Returns (p_count (T,), s_count (L, T), pb_count (T,), sb_count (L, T)).
+    """
+    from openglraytracer_tpu.ops.raygen import generate_rays
+    from openglraytracer_tpu.ops.render import BOUNCE_EPS
+    from openglraytracer_tpu.ops.transforms import reflect
+
+    (th, tw), kp, ks, hot_m, kb, ksb = parse_cull_spec(cull)
+    tile_p = th * tw
+    origins, dirs = generate_rays(camera, height, width)
+    o = tile_image(origins, th, tw).reshape(-1, 3)
+    d = tile_image(dirs, th, tw).reshape(-1, 3)
+    n_sph = int(scene.spheres.count)
+    n_box = int(scene.boxes.count)
+    n_lights = scene.lights.count
+    t_tiles = o.shape[0] // tile_p
+    no_shadows = tuple([False] * n_lights)
+
+    @jax.jit
+    def child_masks(scene, o, d):
+        hit, _, _ = culled_geometry(scene, o, d, tile_p, kp, 8, no_shadows,
+                                    0, kb, ksb)
+        refl = scene.materials.reflectivity[hit.material_id]
+        active = hit.hit & (refl > 0.0)
+        co = hit.p + hit.n * BOUNCE_EPS
+        cd = reflect(d, hit.n)
+        act_t = (active & (jnp.sum(cd * cd, -1) > _DIV_EPS)) \
+            .reshape(t_tiles, tile_p)
+        apex, axis, cos_half, rho, empty = bounce_cones(
+            co.reshape(t_tiles, tile_p, 3), cd.reshape(t_tiles, tile_p, 3),
+            act_t)
+        zero = jnp.zeros((t_tiles,), jnp.int32)
+        pc = pb = zero
+        if n_sph:
+            m = sphere_vs_cone(apex, axis, cos_half, scene.spheres.center,
+                               scene.spheres.radius, expand=rho)
+            pc = jnp.sum(m & (~empty)[:, None], axis=-1, dtype=jnp.int32)
+        if n_box:
+            bc, br = box_bounding_spheres(scene)
+            m = sphere_vs_cone(apex, axis, cos_half, bc, br, expand=rho)
+            pb = jnp.sum(m & (~empty)[:, None], axis=-1, dtype=jnp.int32)
+        return pc, pb, active, co, cd
+
+    p_count, pb_count, active, co, cd = child_masks(scene, o, d)
+    kp_c = min(max(n_sph, 1), max(8, int(jnp.max(p_count))))
+    kb_c = max(1, int(jnp.max(pb_count))) if n_box else 0
+
+    @jax.jit
+    def child_shadow_counts(scene, co, cd, active):
+        hit, _, _ = culled_geometry(scene, co, cd, tile_p, kp_c, 8,
+                                    no_shadows, 0, kb_c, 1, active=active)
+        shadow_org = hit.p + hit.n * SHADOW_EPS
+        if n_box:
+            bc, br = box_bounding_spheres(scene)
+        cols, bcols = [], []
+        zero = jnp.zeros((t_tiles,), jnp.int32)
+        for li in range(n_lights):
+            if shadow_lights is not None and not shadow_lights[li]:
+                cols.append(zero)
+                bcols.append(zero)
+                continue
+            lpos = scene.lights.position[li]
+            if n_sph:
+                sm = shadow_cull_mask(scene, shadow_org, hit.hit, tile_p,
+                                      lpos)
+                cols.append(jnp.sum(sm, axis=-1, dtype=jnp.int32))
+            else:
+                cols.append(zero)
+            if n_box:
+                bm = shadow_cull_mask(scene, shadow_org, hit.hit, tile_p,
+                                      lpos, centers=bc, radii=br)
+                bcols.append(jnp.sum(bm, axis=-1, dtype=jnp.int32))
+            else:
+                bcols.append(zero)
+        empty = jnp.zeros((0, t_tiles), jnp.int32)
+        return (jnp.stack(cols) if cols else empty,
+                jnp.stack(bcols) if bcols else empty)
+
+    s_count, sb_count = child_shadow_counts(scene, co, cd, active)
+    return p_count, s_count, pb_count, sb_count
+
+
+def suggest_child_cull_config(scene: Scene, camera, height: int, width: int,
+                              cull, headroom: float = 1.5, min_k: int = 8,
+                              shadow_lights: tuple | None = None):
+    """Cull spec for the REFLECTION children of a culled trace: measure the
+    bounce-bundle survivor counts (bounce_cull_counts) and size with the
+    same quantile/hot-tile strategy as the primary spec. ``cull`` is the
+    PARENT spec (its tile defines the child tiles — children inherit the
+    parent's tile-major ray order elementwise)."""
+    if shadow_lights is None:
+        from openglraytracer_tpu.ops.shading import static_shadow_mask
+        shadow_lights = static_shadow_mask(scene)
+    tile = parse_cull_spec(cull)[0]
+    p_count, s_count, pb_count, sb_count = bounce_cull_counts(
+        scene, camera, height, width, cull, shadow_lights)
+    return _spec_from_counts(scene, p_count, s_count, pb_count, sb_count,
+                             tile, headroom, min_k)

@@ -52,22 +52,32 @@ def _mix(a, b, w):
 
 
 def _apply_bounces(scene: Scene, dirs, hit, color, depth: int, recurse,
-                   bounce_mask: tuple = (True, True)):
+                   bounce_mask: tuple = (True, True), mat_rows=None):
     """Reflection (:979-997) and refraction (:1001-1030) child traces blended
     with mix(mix(phong, refl, reflectivity), refr, transparency) (:1042-1051).
-    recurse(origins, dirs, depth) -> colors for the child rays.
+    recurse(origins, dirs, depth, active) -> colors for the child rays;
+    active marks rays whose child can contribute (parent hit with a
+    positive branch weight) — exact engines ignore it, the culled child
+    path uses it to build bounce cones (ops/accel.bounce_cones).
 
     bounce_mask: static (has_refl, has_refr) — a False entry skips that
     subtree entirely (shading.static_bounce_mask proves it contributes
-    nothing for this scene's materials)."""
+    nothing for this scene's materials). mat_rows: packed (R, 20) material
+    rows already routed through the cull survivor lists — avoids the O(R)
+    global material gather on large material tables."""
     has_refl, has_refr = bounce_mask
-    mat = gather_materials(scene, hit.material_id)
+    if mat_rows is not None:
+        from openglraytracer_tpu.ops.shading import materials_from_rows
+        mat = materials_from_rows(scene, mat_rows)
+    else:
+        mat = gather_materials(scene, hit.material_id)
 
     if has_refl:
         refl_org = hit.p + hit.n * BOUNCE_EPS
         refl_dir = reflect(dirs, hit.n)
-        refl_color = recurse(refl_org, refl_dir, depth - 1)
-        do_refl = (hit.hit & (mat.reflectivity > 0.0))[:, None]
+        do_refl_1d = hit.hit & (mat.reflectivity > 0.0)
+        refl_color = recurse(refl_org, refl_dir, depth - 1, do_refl_1d)
+        do_refl = do_refl_1d[:, None]
         color = jnp.where(do_refl,
                           _mix(color, refl_color, mat.reflectivity[:, None]),
                           color)
@@ -78,8 +88,9 @@ def _apply_bounces(scene: Scene, dirs, hit, color, depth: int, recurse,
                           mat.refraction_index / AIR_IOR,
                           AIR_IOR / mat.refraction_index)
         refr_dir = refract(dirs, hit.n, ratio[:, None])
-        refr_color = recurse(refr_org, refr_dir, depth - 1)
-        do_refr = (hit.hit & (mat.transparency > 0.0))[:, None]
+        do_refr_1d = hit.hit & (mat.transparency > 0.0)
+        refr_color = recurse(refr_org, refr_dir, depth - 1, do_refr_1d)
+        do_refr = do_refr_1d[:, None]
         color = jnp.where(do_refr,
                           _mix(color, refr_color, mat.transparency[:, None]),
                           color)
@@ -105,9 +116,10 @@ def trace_rays(scene: Scene, origins, dirs, depth: int = 0,
     if depth > 0:
         color = _apply_bounces(
             scene, dirs, hit, color, depth,
-            lambda o, d, dd: trace_rays(scene, o, d, dd,
-                                        chunk_size=chunk_size, remat=remat,
-                                        bounce_mask=bounce_mask),
+            lambda o, d, dd, _act: trace_rays(scene, o, d, dd,
+                                              chunk_size=chunk_size,
+                                              remat=remat,
+                                              bounce_mask=bounce_mask),
             bounce_mask)
 
     return jnp.where(hit.hit[:, None], color, 0.0)
@@ -118,7 +130,8 @@ def trace_rays_fast(scene: Scene, origins, dirs, depth: int = 0,
                     cull: tuple | None = None,
                     shadow_lights: tuple | None = None,
                     with_cull_stats: bool = False,
-                    bounce_mask: tuple | None = None):
+                    bounce_mask: tuple | None = None,
+                    child_cull: tuple | None = None):
     """Trace with the analytic O(rays) geometry VJP (ops/geometry.py):
     forward identical to trace_rays; backward gathers each ray's winning
     object, replays one candidate computation, and scatter-adds — instead of
@@ -130,12 +143,18 @@ def trace_rays_fast(scene: Scene, origins, dirs, depth: int = 0,
     (tile_p, kp, ks) and rays in tile-major order with a shared origin), or
     'culled_pallas' (same broad phase + VJP, narrow phases as Mosaic
     kernels scanning the survivor lists in VMEM, ops/pallas_culled.py).
-    Bounce children of a culled trace fall back to 'xla' (bounce rays have
-    no shared origin to build cones from).
+
+    child_cull: cull spec for the BOUNCE children of a culled trace
+    (size with accel.suggest_child_cull_config). Children have no shared
+    origin, so their broad phase uses bounce cones (origin-bbox apex +
+    Minkowski-expanded objects, accel.bounce_cones) over the parent's tile
+    structure — mirror scenes scale past 64 objects (VERDICT r2 next #4).
+    None (the default) falls back to the dense 'xla' scan for children.
 
     with_cull_stats: also return a device int32 scalar counting (tile, list)
-    slots that overflowed their static K this trace (0 for exact engines) —
-    lets a training step observe dropped-object events EVERY step.
+    slots that overflowed their static K this trace — including every
+    bounce level's lists (0 for exact engines) — lets a training step
+    observe dropped-object events EVERY step.
     """
     from openglraytracer_tpu.ops.geometry import geometry_op
     from openglraytracer_tpu.ops.shading import phong_shade_lit
@@ -163,23 +182,78 @@ def trace_rays_fast(scene: Scene, origins, dirs, depth: int = 0,
                                hot_m, kb, ksb)
         mat_rows = culled_material_rows(scene, hit, aux, tile_p)
         ovf = cull_overflow_count(aux)
-        child_engine = "xla"
+
+        if depth > 0:
+            ovf_acc = [ovf]
+            if child_cull is not None:
+                def recurse(o, d, dd, act):
+                    c, child_ovf = _trace_child_culled(
+                        scene, o, d, act, dd, child_cull, shadow_lights,
+                        bounce_mask)
+                    ovf_acc.append(child_ovf)
+                    return c
+            else:
+                def recurse(o, d, dd, _act):
+                    return trace_rays_fast(scene, o, d, dd,
+                                           chunk_size=chunk_size,
+                                           engine="xla",
+                                           shadow_lights=shadow_lights,
+                                           bounce_mask=bounce_mask)
+            color = phong_shade_lit(scene, dirs, hit, occ, mat_rows=mat_rows)
+            color = _apply_bounces(scene, dirs, hit, color, depth, recurse,
+                                   bounce_mask, mat_rows=mat_rows)
+            color = jnp.where(hit.hit[:, None], color, 0.0)
+            ovf = sum(ovf_acc[1:], ovf_acc[0])
+            return (color, ovf) if with_cull_stats else color
     else:
         hit, occ = geometry_op(scene, origins, dirs, engine, chunk_size,
                                shadow_lights)
-        child_engine = engine
     color = phong_shade_lit(scene, dirs, hit, occ, mat_rows=mat_rows)
     if depth > 0:
         color = _apply_bounces(
             scene, dirs, hit, color, depth,
-            lambda o, d, dd: trace_rays_fast(scene, o, d, dd,
-                                             chunk_size=chunk_size,
-                                             engine=child_engine,
-                                             shadow_lights=shadow_lights,
-                                             bounce_mask=bounce_mask),
-            bounce_mask)
+            lambda o, d, dd, _act: trace_rays_fast(
+                scene, o, d, dd, chunk_size=chunk_size, engine=engine,
+                shadow_lights=shadow_lights, bounce_mask=bounce_mask),
+            bounce_mask, mat_rows=mat_rows)
     color = jnp.where(hit.hit[:, None], color, 0.0)
     return (color, ovf) if with_cull_stats else color
+
+
+def _trace_child_culled(scene: Scene, origins, dirs, active, depth: int,
+                        child_cull: tuple, shadow_lights: tuple | None,
+                        bounce_mask: tuple):
+    """One bounce level through the secondary-ray culled path: bounce-cone
+    broad phase + survivor-list narrow phase + survivor-routed materials,
+    recursing into deeper levels with the same child spec. Returns
+    (colors (R, 3), overflow scalar summed over this level and below)."""
+    from openglraytracer_tpu.ops.accel import (bounce_culled_geometry_op,
+                                               cull_overflow_count,
+                                               culled_material_rows,
+                                               parse_cull_spec)
+    from openglraytracer_tpu.ops.shading import phong_shade_lit
+
+    tile_p, kp, ks, hot_m, kb, ksb = parse_cull_spec(child_cull)
+    hit, occ, aux = bounce_culled_geometry_op(scene, origins, dirs, active,
+                                              tile_p, kp, ks, shadow_lights,
+                                              hot_m, kb, ksb)
+    mat_rows = culled_material_rows(scene, hit, aux, tile_p)
+    ovf = cull_overflow_count(aux)
+    color = phong_shade_lit(scene, dirs, hit, occ, mat_rows=mat_rows)
+    if depth > 0:
+        ovf_acc = [ovf]
+
+        def recurse(o, d, dd, act):
+            c, child_ovf = _trace_child_culled(scene, o, d, act, dd,
+                                               child_cull, shadow_lights,
+                                               bounce_mask)
+            ovf_acc.append(child_ovf)
+            return c
+
+        color = _apply_bounces(scene, dirs, hit, color, depth, recurse,
+                               bounce_mask, mat_rows=mat_rows)
+        ovf = sum(ovf_acc[1:], ovf_acc[0])
+    return jnp.where(hit.hit[:, None], color, 0.0), ovf
 
 
 def pick_tracer(scene: Scene, engine: str = "auto",
@@ -418,7 +492,8 @@ def render(scene: Scene, camera: Camera, height: int, width: int,
            shadow_lights: tuple | None = None,
            bounce: str = "tree",
            with_cull_stats: bool = False,
-           bounce_mask: tuple | None = None):
+           bounce_mask: tuple | None = None,
+           child_cull: tuple | None = None):
     """Render an (H, W, 3) image. Pure function of (scene, camera) — the
     reference's statelessness (everything recomputed from `time` each frame,
     SURVEY.md §5 checkpoint entry) preserved by construction.
@@ -452,7 +527,8 @@ def render(scene: Scene, camera: Camera, height: int, width: int,
         bounce_mask = static_bounce_mask(scene) if depth > 0 else (True, True)
     out = _render_jit(scene, camera, height, width, depth, chunk_size,
                       remat, row_block, mirror_only, engine, cull,
-                      shadow_lights, bounce, with_cull_stats, bounce_mask)
+                      shadow_lights, bounce, with_cull_stats, bounce_mask,
+                      child_cull)
     return out
 
 
@@ -460,7 +536,7 @@ def render(scene: Scene, camera: Camera, height: int, width: int,
                                    "remat", "row_block", "mirror_only",
                                    "engine", "cull", "shadow_lights",
                                    "bounce", "with_cull_stats",
-                                   "bounce_mask"))
+                                   "bounce_mask", "child_cull"))
 def _render_jit(scene: Scene, camera: Camera, height: int, width: int,
                 depth: int, chunk_size: int, remat: bool,
                 row_block: int | None, mirror_only: bool, engine: str,
@@ -468,7 +544,8 @@ def _render_jit(scene: Scene, camera: Camera, height: int, width: int,
                 shadow_lights: tuple | None,
                 bounce: str = "tree",
                 with_cull_stats: bool = False,
-                bounce_mask: tuple = (True, True)):
+                bounce_mask: tuple = (True, True),
+                child_cull: tuple | None = None):
     origins, dirs = generate_rays(camera, height, width)
 
     if engine in ("culled", "culled_pallas"):
@@ -488,12 +565,21 @@ def _render_jit(scene: Scene, camera: Camera, height: int, width: int,
         (th, tw), kp, ks, hot_m, kb, ksb = parse_cull_spec(cull)
         o = tile_image(origins, th, tw).reshape(-1, 3)
         d = tile_image(dirs, th, tw).reshape(-1, 3)
+        cc = None
+        if child_cull is not None:
+            (cth, ctw), ckp, cks, chot, ckb, cksb = \
+                parse_cull_spec(child_cull)
+            assert (cth, ctw) == (th, tw), \
+                "child_cull tile must match cull tile (children inherit " \
+                "the parent's tile-major ray order)"
+            cc = (cth * ctw, ckp, cks, chot, ckb, cksb)
         out = trace_rays_fast(scene, o, d, depth, chunk_size=chunk_size,
                               engine=engine,
                               cull=(th * tw, kp, ks, hot_m, kb, ksb),
                               shadow_lights=shadow_lights,
                               with_cull_stats=with_cull_stats,
-                              bounce_mask=bounce_mask)
+                              bounce_mask=bounce_mask,
+                              child_cull=cc)
         if with_cull_stats:
             colors, ovf = out
             return untile_image(colors, height, width, th, tw), ovf

@@ -140,12 +140,18 @@ def make_train_step(camera: Camera, cfg: FitConfig, mesh=None,
 
 
 def fit(scene_init: Scene, target, camera: Camera, cfg: FitConfig,
-        mesh=None, callback: Callable[[int, float], None] | None = None):
-    """Run the optimization loop. Returns (fitted_scene, losses)."""
+        mesh=None, callback: Callable[[int, float], None] | None = None,
+        optimizer: optax.GradientTransformation | None = None):
+    """Run the optimization loop. Returns (fitted_scene, losses).
+
+    optimizer overrides the default constant-LR Adam — pass a scheduled
+    optimizer (e.g. cosine-decayed Adam) for large fits, where a constant
+    LR sized for early progress later oscillates around the minimum."""
     from openglraytracer_tpu.utils import checkpoint as ckpt_util
     from openglraytracer_tpu.utils.metrics import MetricsLogger, rays_per_frame
 
-    init_fn, step_fn = make_train_step(camera, cfg, mesh=mesh)
+    init_fn, step_fn = make_train_step(camera, cfg, mesh=mesh,
+                                       optimizer=optimizer)
     params, opt_state = init_fn(scene_init)
     target = jnp.asarray(target)
 
