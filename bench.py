@@ -126,8 +126,10 @@ def _chained_step(step, params, scene, target, k: int = 10,
 
 
 def bench_config(name: str, scene, cam, height: int, width: int, depth: int,
-                 engine: str, k: int = 10, tile_side: int = 64) -> dict:
+                 engine: str, k: int = 10, tile_side: int = 64,
+                 use_child_cull: bool = False) -> dict:
     from openglraytracer_tpu.ops.accel import (parse_cull_spec,
+                                               suggest_child_cull_config,
                                                suggest_cull_config,
                                                tile_image)
     from openglraytracer_tpu.ops.raygen import generate_rays
@@ -154,14 +156,25 @@ def bench_config(name: str, scene, cam, height: int, width: int, depth: int,
         cull = (tile[0] * tile[1], kp, ks, hot_m, kb, ksb)
         o = tile_image(origins, *tile).reshape(-1, 3)
         d = tile_image(dirs, *tile).reshape(-1, 3)
+        if use_child_cull and depth > 0:
+            # secondary-ray culling (VERDICT r2 next #4): size the child
+            # lists from a measured bounce pass
+            cspec = suggest_child_cull_config(scene, cam, height, width,
+                                              spec,
+                                              shadow_lights=shadow_mask)
+            _, ckp, cks, chot, ckb, cksb = parse_cull_spec(cspec)
+            child_cull = (tile[0] * tile[1], ckp, cks, chot, ckb, cksb)
     else:
         o = origins.reshape(-1, 3)
         d = dirs.reshape(-1, 3)
+    if not (use_child_cull and depth > 0 and cull is not None):
+        child_cull = None
 
     def forward(scene):
         return trace_rays_fast(scene, o, d, depth, engine=engine, cull=cull,
                                shadow_lights=shadow_mask,
-                               bounce_mask=bounce_mask)
+                               bounce_mask=bounce_mask,
+                               child_cull=child_cull)
 
     fwd_jit = jax.jit(forward)
     t_fwd = _pipelined(fwd_jit, (scene,), k=k)
@@ -319,6 +332,18 @@ def main():
         scene, cam = builder()
         results[name] = bench_config(name, scene, cam, h, w, depth, engine,
                                      k=k, tile_side=tile_side)
+
+    # The c4 x c5 composition: 4096 MIRROR spheres at depth 1 — bounce
+    # children through the secondary-ray culled path (VERDICT r2 next #4),
+    # with the dense-child fallback as the ablation row it replaces.
+    builder, h, w, depth = BENCH_CONFIGS["c4_mirror4096"]
+    scene, cam = builder()
+    results["c4_mirror4096"] = bench_config(
+        "c4_mirror4096", scene, cam, h, w, depth, "culled", k=5,
+        tile_side=32, use_child_cull=True)
+    results["c4_mirror4096_densechild"] = bench_config(
+        "c4_mirror4096_densechild", scene, cam, h, w, depth, "culled", k=2,
+        tile_side=32, use_child_cull=False)
 
     # Ablation rows on the north-star config: the XLA culled narrow phase
     # and the dense (no-cull) Pallas kernel (VERDICT r1 #5).

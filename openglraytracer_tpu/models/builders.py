@@ -143,6 +143,13 @@ def mirror_scene(dtype=jnp.float32) -> tuple[Scene, Camera]:
     return sphere_grid_scene(side=8, reflectivity=0.6, seed=4, dtype=dtype)
 
 
+def mirror_grid4096_scene(dtype=jnp.float32) -> tuple[Scene, Camera]:
+    """The natural c4 x c5 composition (VERDICT r2 next #4): 4096 MIRROR
+    spheres at depth 1 — the scene class whose bounce children made the
+    dense child scan O(rays x 4096) and motivated secondary-ray culling."""
+    return sphere_grid_scene(side=64, reflectivity=0.6, seed=1, dtype=dtype)
+
+
 BENCH_CONFIGS = {
     # name -> (builder, height, width, depth)
     "c1_sphere_plane": (single_sphere_scene, 256, 256, 0),
@@ -152,4 +159,5 @@ BENCH_CONFIGS = {
     "c4_mirror": (mirror_scene, 1024, 1024, 1),
     "c5_grid4096": (lambda dtype=jnp.float32: sphere_grid_scene(64, dtype=dtype),
                     2048, 2048, 0),
+    "c4_mirror4096": (mirror_grid4096_scene, 1024, 1024, 1),
 }
