@@ -3,12 +3,15 @@
 Run on the TPU: python scripts/profile_culled.py [c5_grid4096|c3_grid64]
 Guides the Pallas culled-kernel design (VERDICT r2 #1/#3).
 """
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
