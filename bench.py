@@ -94,11 +94,16 @@ def _chip_hbm() -> float | None:
     return None
 
 
-def _pipelined(fn, args, k: int = 10, windows: int = 3) -> float:
+def _pipelined(fn, args, k: int = 10, windows: int = 3) -> tuple:
     """Best per-call wall time over `windows` windows of k back-to-back
-    dispatches, synced once per window."""
+    dispatches, synced once per window. Returns (best_s, first_call_s) —
+    first_call_s is trace+lower+compile+run wall time (compile honesty,
+    VERDICT r3 next #2; the persistent compile cache makes warm-start runs
+    report a much smaller number, which is the deployed truth)."""
+    t0 = time.perf_counter()
     out = fn(*args)
     jax.block_until_ready(out)  # compile + warm
+    first = time.perf_counter() - t0
     best = float("inf")
     for _ in range(windows):
         t0 = time.perf_counter()
@@ -106,15 +111,17 @@ def _pipelined(fn, args, k: int = 10, windows: int = 3) -> float:
             out = fn(*args)
         jax.block_until_ready(out)
         best = min(best, (time.perf_counter() - t0) / k)
-    return best
+    return best, first
 
 
 def _chained_step(step, params, scene, target, k: int = 10,
-                  windows: int = 3) -> float:
+                  windows: int = 3) -> tuple:
     """Like _pipelined but each step consumes the previous step's params —
     true training data dependence, immune to any execution caching."""
+    t0 = time.perf_counter()
     p, loss = step(params, scene, target)
     jax.block_until_ready(loss)
+    first = time.perf_counter() - t0
     best = float("inf")
     for _ in range(windows):
         t0 = time.perf_counter()
@@ -122,12 +129,12 @@ def _chained_step(step, params, scene, target, k: int = 10,
             p, loss = step(p, scene, target)
         jax.block_until_ready(loss)
         best = min(best, (time.perf_counter() - t0) / k)
-    return best
+    return best, first
 
 
 def bench_config(name: str, scene, cam, height: int, width: int, depth: int,
                  engine: str, k: int = 10, tile_side: int = 64,
-                 use_child_cull: bool = False) -> dict:
+                 use_child_cull: bool = False, windows: int = 3) -> dict:
     from openglraytracer_tpu.ops.accel import (parse_cull_spec,
                                                suggest_child_cull_config,
                                                suggest_cull_config,
@@ -145,7 +152,7 @@ def bench_config(name: str, scene, cam, height: int, width: int, depth: int,
     bounce_mask = static_bounce_mask(scene) if depth > 0 else (True, True)
     cull = None
     origins, dirs = generate_rays(cam, height, width)
-    if engine == "culled":
+    if engine in ("culled", "culled_pallas"):
         # per-config tile side, measured on v5e: smaller tiles tighten the
         # cones (fewer survivors/tile) but multiply per-tile fixed costs;
         # 64 wins at 64 objects, 32 wins at 4096 (kp 232 -> 72, +25%)
@@ -177,7 +184,7 @@ def bench_config(name: str, scene, cam, height: int, width: int, depth: int,
                                child_cull=child_cull)
 
     fwd_jit = jax.jit(forward)
-    t_fwd = _pipelined(fwd_jit, (scene,), k=k)
+    t_fwd, c_fwd = _pipelined(fwd_jit, (scene,), k=k, windows=windows)
 
     target = jnp.zeros((height * width, 3), jnp.float32)
     trainable = tuple(t for t in DEFAULT_TRAINABLE
@@ -199,7 +206,8 @@ def bench_config(name: str, scene, cam, height: int, width: int, depth: int,
                                         params, grads)
         return params, loss
 
-    t_step = _chained_step(sgd_step, params, scene, target, k=k)
+    t_step, c_step = _chained_step(sgd_step, params, scene, target, k=k,
+                                   windows=windows)
 
     rays = rays_per_frame(height, width, scene.lights.count, depth,
                           shadow_lights=shadow_mask,
@@ -213,6 +221,11 @@ def bench_config(name: str, scene, cam, height: int, width: int, depth: int,
         "fwd_bwd_mrays_per_s": round(rays / t_step / 1e6, 2),
         "fwd_ms": round(t_fwd * 1e3, 3),
         "fwd_bwd_ms": round(t_step * 1e3, 3),
+        # first-call wall time = trace + lower + compile + run; the recorded
+        # cost of the culled_pallas static unrolls (VERDICT r3 next #2).
+        # With the persistent compile cache warm this collapses to ~run time.
+        "fwd_compile_s": round(c_fwd, 2),
+        "fwd_bwd_compile_s": round(c_step, 2),
     }
 
     peak = _chip_peak()
@@ -273,7 +286,7 @@ def bench_stack_depth(height: int = 1024, width: int = 1024,
         except Exception:
             return None
 
-    t_fwd = _pipelined(jax.jit(fwd_stack), (scene,), k=k)
+    t_fwd, c_fwd = _pipelined(jax.jit(fwd_stack), (scene,), k=k)
 
     from openglraytracer_tpu.train.inverse import apply_params, extract_params
     params = extract_params(scene, ("spheres.center", "boxes.position",
@@ -283,7 +296,7 @@ def bench_stack_depth(height: int = 1024, width: int = 1024,
         return jnp.mean(jnp.square(fwd_stack(apply_params(scene, p))))
 
     grad = jax.jit(jax.grad(loss))
-    t_bwd = _pipelined(grad, (params,), k=k)
+    t_bwd, c_bwd = _pipelined(grad, (params,), k=k)
 
     rays = rays_per_frame(height, width, scene.lights.count, depth,
                           shadow_lights=sm)
@@ -296,6 +309,8 @@ def bench_stack_depth(height: int = 1024, width: int = 1024,
         "fwd_bwd_mrays_per_s": round(rays / t_bwd / 1e6, 2),
         "fwd_ms": round(t_fwd * 1e3, 3),
         "fwd_bwd_ms": round(t_bwd * 1e3, 3),
+        "fwd_compile_s": round(c_fwd, 2),
+        "fwd_bwd_compile_s": round(c_bwd, 2),
         # compiled peak temp HBM: the stack engine's O(depth) scan carry vs
         # the tree unroll's 2^(depth+1)-1 live node intermediates
         "stack_fwd_temp_gb": temp_gb(fwd_stack),
@@ -304,54 +319,48 @@ def bench_stack_depth(height: int = 1024, width: int = 1024,
     return row
 
 
+# The full measured table, one row per entry:
+#   row_name: (config_name, engine, k, tile_side, use_child_cull)
+# Engines: culled/culled_pallas where the broad phase pays (64+ objects),
+# xla for the tiny scenes and the OBB world. The perf path is the culled
+# PALLAS engine (VERDICT r2 next #1): the accel.py broad phase feeding
+# Mosaic narrow-phase kernels that scan only the K survivors with the ray
+# tile resident in VMEM (ops/pallas_culled.py).
+# This table is module-level so tests/test_bench_plan.py can exercise every
+# (engine, child_cull) combination at tiny shapes on CPU — the acceptance
+# artifact must never again be committed in a state that crashes
+# (VERDICT r3 next #1).
+PLAN = {
+    "c1_sphere_plane": ("c1_sphere_plane", "xla", 20, 64, False),
+    "c2_eight_spheres": ("c2_eight_spheres", "xla", 20, 64, False),
+    "c3_grid64": ("c3_grid64", "culled_pallas", 10, 64, False),
+    "c4_mirror": ("c4_mirror", "culled_pallas", 5, 64, False),
+    "c5_grid4096": ("c5_grid4096", "culled_pallas", 5, 32, False),
+    # The c4 x c5 composition: 4096 MIRROR spheres at depth 1 — bounce
+    # children through the secondary-ray culled path (VERDICT r2 next #4),
+    # with the dense-child fallback as the ablation row it replaces.
+    "c4_mirror4096": ("c4_mirror4096", "culled", 5, 32, True),
+    "c4_mirror4096_densechild": ("c4_mirror4096", "culled", 2, 32, False),
+    # Ablation rows on the north-star config: the XLA culled narrow phase
+    # and the dense (no-cull) Pallas kernel (VERDICT r1 #5), plus the
+    # XLA-culled c5 row the shadow-sharing change displaced (r4).
+    "c3_grid64_culled_xla": ("c3_grid64", "culled", 10, 64, False),
+    "c3_grid64_pallas": ("c3_grid64", "pallas", 10, 64, False),
+    "c5_grid4096_culled_xla": ("c5_grid4096", "culled", 5, 32, False),
+}
+
+
 def main():
     from openglraytracer_tpu.models.animated import reference_frame
     from openglraytracer_tpu.models.builders import BENCH_CONFIGS
 
-    # (engine, pipelined window size) per config; culled where the broad
-    # phase pays (64+ objects), xla for the tiny scenes and the OBB world.
-    # The perf path is now the culled PALLAS engine (VERDICT r2 next #1):
-    # the accel.py broad phase feeding Mosaic narrow-phase kernels that scan
-    # only the K survivors with the ray tile resident in VMEM
-    # (ops/pallas_culled.py). Measured v5e c3: fwd 6.7 ms vs 8.4 ms for the
-    # XLA culled narrow phase (kept below as an ablation row).
-    plan = {
-        "c1_sphere_plane": ("xla", 20, 64),
-        "c2_eight_spheres": ("xla", 20, 64),
-        "c3_grid64": ("culled_pallas", 10, 64),
-        "c4_mirror": ("culled_pallas", 5, 64),
-        # c5 stays on the XLA culled narrow phase: measured v5e fwd is a tie
-        # (75.9 ms culled_pallas vs 76.0 ms culled) because 2048^2/4096-sphere
-        # is bound by the shadow broad phase, not the narrow phase — and the
-        # kernel costs ~94 s of compile for that tie
-        "c5_grid4096": ("culled", 5, 32),
-    }
     results = {}
-    for name, (engine, k, tile_side) in plan.items():
-        builder, h, w, depth = BENCH_CONFIGS[name]
+    for row_name, (cfg, engine, k, tile_side, child) in PLAN.items():
+        builder, h, w, depth = BENCH_CONFIGS[cfg]
         scene, cam = builder()
-        results[name] = bench_config(name, scene, cam, h, w, depth, engine,
-                                     k=k, tile_side=tile_side)
-
-    # The c4 x c5 composition: 4096 MIRROR spheres at depth 1 — bounce
-    # children through the secondary-ray culled path (VERDICT r2 next #4),
-    # with the dense-child fallback as the ablation row it replaces.
-    builder, h, w, depth = BENCH_CONFIGS["c4_mirror4096"]
-    scene, cam = builder()
-    results["c4_mirror4096"] = bench_config(
-        "c4_mirror4096", scene, cam, h, w, depth, "culled", k=5,
-        tile_side=32, use_child_cull=True)
-    results["c4_mirror4096_densechild"] = bench_config(
-        "c4_mirror4096_densechild", scene, cam, h, w, depth, "culled", k=2,
-        tile_side=32, use_child_cull=False)
-
-    # Ablation rows on the north-star config: the XLA culled narrow phase
-    # and the dense (no-cull) Pallas kernel (VERDICT r1 #5).
-    scene, cam = BENCH_CONFIGS["c3_grid64"][0]()
-    results["c3_grid64_culled_xla"] = bench_config(
-        "c3_grid64_culled_xla", scene, cam, 1024, 1024, 0, "culled", k=10)
-    results["c3_grid64_pallas"] = bench_config(
-        "c3_grid64_pallas", scene, cam, 1024, 1024, 0, "pallas", k=10)
+        results[row_name] = bench_config(row_name, scene, cam, h, w, depth,
+                                         engine, k=k, tile_side=tile_side,
+                                         use_child_cull=child)
 
     # The reference's own animated OBB world (raytrace_compute.glsl:261-320)
     # at its native 1280x720, on the fast OBB engine (VERDICT r1 #1).

@@ -108,6 +108,13 @@ def cmd_render(args):
                   + " ".join(f"{k}={v}" for k, v in
                              zip(("kp", "ks", "hot_m", "kb", "ksb"),
                                  cspec[1:])))
+    elif getattr(args, "child_cull", False):
+        # mirror the --depth check's feedback: an equally wrong invocation
+        # must not be silently ignored (ADVICE r3)
+        raise SystemExit("--child-cull requires --engine culled or "
+                         "culled_pallas (it sizes the culled bounce-child "
+                         f"lists; --engine {args.engine} traces children "
+                         "densely)")
     with _profiled(args.profile_dir):
         img = render(scene, cam, h, w, **kwargs)
         img.block_until_ready()

@@ -1251,18 +1251,28 @@ def _spec_from_counts(scene: Scene, p_count, s_count, pb_count, sb_count,
 
 def bounce_cull_counts(scene: Scene, camera, height: int, width: int,
                        cull, shadow_lights: tuple | None = None):
-    """Per-tile survivor counts for the REFLECTION children of a culled
-    trace — the sizing pass for secondary-ray culling (VERDICT r2 next #4).
+    """Per-tile survivor counts for the BOUNCE children of a culled trace —
+    the sizing pass for secondary-ray culling (VERDICT r2 next #4).
 
     Traces the primaries once (shadows off) with the parent spec ``cull``,
-    spawns the reflection bundle, and measures (1) bounce-cone sphere/box
-    survivor counts and (2) per-light shadow-cone counts from the children's
-    own hit points (obtained by an exact child pass at Kp = measured max).
+    spawns the reflection AND (when any material is transparent) refraction
+    bundles, and measures (1) bounce-cone sphere/box survivor counts and
+    (2) per-light shadow-cone counts from the children's own hit points
+    (obtained by an exact child pass at Kp = measured max). Counts are the
+    elementwise max over the live branches, so one child spec conservatively
+    covers both (ADVICE r3: refraction cones can be wider than reflection's).
     Returns (p_count (T,), s_count (L, T), pb_count (T,), sb_count (L, T)).
+
+    Caveat (documented, per ADVICE r3): counts are measured at bounce level
+    1. Deeper levels reuse the same spec; their cones are usually narrower
+    (each bounce's active set shrinks) but are not *guaranteed* to be —
+    renders at depth >= 2 should verify via with_cull_stats (the per-level
+    overflow counters cover every level) or the headroom factor.
     """
     from openglraytracer_tpu.ops.raygen import generate_rays
     from openglraytracer_tpu.ops.render import BOUNCE_EPS
-    from openglraytracer_tpu.ops.transforms import reflect
+    from openglraytracer_tpu.ops.transforms import reflect, refract
+    from openglraytracer_tpu.models.scene import AIR_IOR
 
     (th, tw), kp, ks, hot_m, kb, ksb = parse_cull_spec(cull)
     tile_p = th * tw
@@ -1274,15 +1284,10 @@ def bounce_cull_counts(scene: Scene, camera, height: int, width: int,
     n_lights = scene.lights.count
     t_tiles = o.shape[0] // tile_p
     no_shadows = tuple([False] * n_lights)
+    from openglraytracer_tpu.ops.shading import static_bounce_mask
+    has_refl, has_refr = static_bounce_mask(scene)
 
-    @jax.jit
-    def child_masks(scene, o, d):
-        hit, _, _ = culled_geometry(scene, o, d, tile_p, kp, 8, no_shadows,
-                                    0, kb, ksb)
-        refl = scene.materials.reflectivity[hit.material_id]
-        active = hit.hit & (refl > 0.0)
-        co = hit.p + hit.n * BOUNCE_EPS
-        cd = reflect(d, hit.n)
+    def bundle_counts(scene, co, cd, active):
         act_t = (active & (jnp.sum(cd * cd, -1) > _DIV_EPS)) \
             .reshape(t_tiles, tile_p)
         apex, axis, cos_half, rho, empty = bounce_cones(
@@ -1298,9 +1303,35 @@ def bounce_cull_counts(scene: Scene, camera, height: int, width: int,
             bc, br = box_bounding_spheres(scene)
             m = sphere_vs_cone(apex, axis, cos_half, bc, br, expand=rho)
             pb = jnp.sum(m & (~empty)[:, None], axis=-1, dtype=jnp.int32)
-        return pc, pb, active, co, cd
+        return pc, pb
 
-    p_count, pb_count, active, co, cd = child_masks(scene, o, d)
+    @jax.jit
+    def child_masks(scene, o, d):
+        hit, _, _ = culled_geometry(scene, o, d, tile_p, kp, 8, no_shadows,
+                                    0, kb, ksb)
+        zero = jnp.zeros((t_tiles,), jnp.int32)
+        pc = pb = zero
+        bundles = []
+        if has_refl:
+            refl = jnp.take(scene.materials.reflectivity, hit.material_id)
+            active = hit.hit & (refl > 0.0)
+            co = hit.p + hit.n * BOUNCE_EPS
+            cd = reflect(d, hit.n)
+            pc, pb = bundle_counts(scene, co, cd, active)
+            bundles.append((active, co, cd))
+        if has_refr:
+            tau = jnp.take(scene.materials.transparency, hit.material_id)
+            active_r = hit.hit & (tau > 0.0)
+            ior = jnp.take(scene.materials.refraction_index, hit.material_id)
+            ratio = jnp.where(hit.inside, ior / AIR_IOR, AIR_IOR / ior)
+            co_r = hit.p - hit.n * BOUNCE_EPS
+            cd_r = refract(d, hit.n, ratio[:, None])
+            pc_r, pb_r = bundle_counts(scene, co_r, cd_r, active_r)
+            pc, pb = jnp.maximum(pc, pc_r), jnp.maximum(pb, pb_r)
+            bundles.append((active_r, co_r, cd_r))
+        return pc, pb, bundles
+
+    p_count, pb_count, bundles = child_masks(scene, o, d)
     kp_c = min(max(n_sph, 1), max(8, int(jnp.max(p_count))))
     kb_c = max(1, int(jnp.max(pb_count))) if n_box else 0
 
@@ -1335,7 +1366,15 @@ def bounce_cull_counts(scene: Scene, camera, height: int, width: int,
         return (jnp.stack(cols) if cols else empty,
                 jnp.stack(bcols) if bcols else empty)
 
-    s_count, sb_count = child_shadow_counts(scene, co, cd, active)
+    # shadow counts from each live branch's own child hit points; one spec
+    # covers both via elementwise max (ADVICE r3)
+    s_count = sb_count = None
+    for active, co, cd in bundles:
+        sc, sbc = child_shadow_counts(scene, co, cd, active)
+        s_count = sc if s_count is None else jnp.maximum(s_count, sc)
+        sb_count = sbc if sb_count is None else jnp.maximum(sb_count, sbc)
+    if s_count is None:   # statically no live bounce branch
+        s_count = sb_count = jnp.zeros((0, t_tiles), jnp.int32)
     return p_count, s_count, pb_count, sb_count
 
 

@@ -35,7 +35,12 @@ The narrow-phase arithmetic mirrors accel.py's operation-for-operation
 the culled engine to float rounding; discrete outputs (winner ids, inside
 flags, occlusion bits) are produced by the same comparisons in the same
 fold order (ascending survivor order, first-wins ties, strict-< box merge,
-object-beats-plane ties).
+object-beats-plane ties). Chip-level caveat (measured r4,
+scripts/debug_dynamic.py): Mosaic contracts the quadratic's FMAs
+differently from XLA-TPU, so on real hardware ~1e-5 of rays flip their
+`disc >= 0` test on TANGENT GRAZES and pick a different (equally valid at
+fp precision) winner — 10 of 1M rays at 4096 spheres; interpret mode (the
+CPU test environment) shares XLA's arithmetic and matches bit-exactly.
 
 Differentiation: ``culled_pallas_geometry_op`` reuses accel.py's
 tile-structured analytic VJP verbatim (``accel._culled_bwd``) — the kernels
@@ -73,6 +78,14 @@ LANE = 128
 # (the broad phase exists to make them so); beyond this fall back to a
 # fori_loop like the dense kernel
 _UNROLL_LIMIT = 256
+# total statically-scanned rows (kp + kb + per-light ks/ksb) above which the
+# kernels switch to DYNAMIC trip counts: each tile scans only its measured
+# survivor count (r4, VERDICT r3 next #3). Survivor-count distributions are
+# heavily skewed — c5's shadow lists have p50 = 0 vs max = 159 — so a static
+# K scan wastes >10x the work of the mean tile; dynamic bounds make the
+# median tile nearly free while the static K only sizes the (cheap) lists.
+_DYNAMIC_THRESHOLD = 96
+_DYN_UNROLL = 8
 
 
 def _use_interpret() -> bool:
@@ -86,14 +99,41 @@ def _inv_safe(x):
     return 1.0 / xs
 
 
-def _loop(k: int, body, carry):
-    """Static unroll for small k (lets Mosaic software-pipeline the scalar
-    loads), fori_loop beyond the limit."""
-    if k <= _UNROLL_LIMIT:
-        for j in range(k):
-            carry = body(j, carry)
+def _loop(k: int, body, carry, count=None):
+    """Survivor scan driver. count=None: static unroll for small k (lets
+    Mosaic software-pipeline the scalar loads), fori_loop beyond the limit.
+    count (traced int32 scalar): DYNAMIC trip count — scan
+    ceil(count / _DYN_UNROLL) chunks of _DYN_UNROLL unrolled steps; the
+    caller guarantees count <= k and that the row array is padded to a
+    multiple of _DYN_UNROLL with valid=0 rows, so the result is identical to
+    the full static scan (invalid rows never update the carry)."""
+    if count is None:
+        if k <= _UNROLL_LIMIT:
+            for j in range(k):
+                carry = body(j, carry)
+            return carry
+        return jax.lax.fori_loop(0, k, body, carry, unroll=1)
+    u = _DYN_UNROLL
+    nchunks = jax.lax.div(count + (u - 1), u)
+
+    def chunk(c, carry):
+        for i in range(u):
+            carry = body(c * u + i, carry)
         return carry
-    return jax.lax.fori_loop(0, k, body, carry, unroll=1)
+
+    return jax.lax.fori_loop(0, nchunks, chunk, carry)
+
+
+def _pad_rows(rows, axis: int, u: int = _DYN_UNROLL):
+    """Zero-pad the survivor axis to a multiple of u (padding rows carry
+    valid=0, so scanning into them is a no-op)."""
+    k = rows.shape[axis]
+    pad = (-k) % u
+    if not pad:
+        return rows
+    widths = [(0, 0)] * rows.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(rows, widths)
 
 
 # ---------------------------------------------------------------------------
@@ -105,11 +145,19 @@ def _loop(k: int, body, carry):
 #                  ro = R^T (o0 - pos) precomputed
 # plane row (16):  [nx ny nz off unx uny unz off-n.o0 mat gid ...]
 
-def _primary_kernel(n_kp: int, n_kb: int, n_pln: int,
-                    sph_ref, box_ref, pln_ref,
-                    dx_ref, dy_ref, dz_ref,
-                    t_ref, nx_ref, ny_ref, nz_ref,
-                    ins_ref, mat_ref, gid_ref, slot_ref):
+def _primary_kernel(n_kp: int, n_kb: int, n_pln: int, dynamic: bool,
+                    *refs):
+    if dynamic:
+        # cnt_ref (2T,) full-array SMEM, FLAT 1-D (SMEM pads the minor dim
+        # to 128 lanes — a (T, 2) layout would cost 64x the bytes and
+        # overflow the 1 MB SMEM at c5's T=4096): per tile
+        # [min(p_count, kp), min(b_count, kb)] — the dynamic trip counts
+        cnt_ref, *refs = refs
+    (sph_ref, box_ref, pln_ref,
+     dx_ref, dy_ref, dz_ref,
+     t_ref, nx_ref, ny_ref, nz_ref,
+     ins_ref, mat_ref, gid_ref, slot_ref) = refs
+    ti = pl.program_id(0)
     dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
     f32 = dx.dtype
 
@@ -155,7 +203,8 @@ def _primary_kernel(n_kp: int, n_kb: int, n_pln: int,
     carry = (inf, zero, zero, zero, zero, zero, zero,
              jnp.full_like(dx, -1.0), zero)
     if n_kp:
-        carry = _loop(n_kp, sphere_best, carry)
+        carry = _loop(n_kp, sphere_best, carry,
+                      count=cnt_ref[2 * ti] if dynamic else None)
 
     def box_best(j, carry):
         tb, nx, ny, nz, ins, flp, mat, gid, slot = carry
@@ -217,7 +266,8 @@ def _primary_kernel(n_kp: int, n_kb: int, n_pln: int,
                 jnp.where(upd, jf, slot))
 
     if n_kb:
-        carry = _loop(n_kb, box_best, carry)
+        carry = _loop(n_kb, box_best, carry,
+                      count=cnt_ref[2 * ti + 1] if dynamic else None)
 
     tb, nx, ny, nz, ins, flp, mat, gid, slot = carry
     for p in range(n_pln):
@@ -264,10 +314,17 @@ def _primary_kernel(n_kp: int, n_kb: int, n_pln: int,
 # the cast origin is the offset shadow origin, the segment is light - p.
 
 def _shadow_kernel(n_lights: int, light_on: tuple, n_ks: int, n_ksb: int,
-                   n_pln: int,
-                   lg_ref, ssph_ref, sbox_ref, pln_ref,
-                   sx_ref, sy_ref, sz_ref, px_ref, py_ref, pz_ref,
-                   occ_s_ref, occ_o_ref):
+                   n_pln: int, dynamic: bool, *refs):
+    if dynamic:
+        # cnt_ref (2L*T,) full-array SMEM, FLAT 1-D (see _primary_kernel's
+        # SMEM padding note): per (tile, light) [min(s_count, ks) (0 for hot
+        # tiles — their occlusion is overridden by the dense pass anyway),
+        # min(sb_count, ksb)]
+        cnt_ref, *refs = refs
+    (lg_ref, ssph_ref, sbox_ref, pln_ref,
+     sx_ref, sy_ref, sz_ref, px_ref, py_ref, pz_ref,
+     occ_s_ref, occ_o_ref) = refs
+    ti = pl.program_id(0)
     sx, sy, sz = sx_ref[0], sy_ref[0], sz_ref[0]
     px, py, pz = px_ref[0], py_ref[0], pz_ref[0]
     f32 = sx.dtype
@@ -309,7 +366,10 @@ def _shadow_kernel(n_lights: int, light_on: tuple, n_ks: int, n_ksb: int,
                 * (ssph_ref[0, li, j, 4] > 0.5).astype(f32)
             return jnp.maximum(occ, blocked)
 
-        occ_s = _loop(n_ks, shadow_sphere, zero) if n_ks else zero
+        occ_s = _loop(
+            n_ks, shadow_sphere, zero,
+            count=cnt_ref[2 * n_lights * ti + 2 * li] if dynamic else None) \
+            if n_ks else zero
 
         def shadow_box(j, occ):
             bm0 = sbox_ref[0, li, j, 0]
@@ -354,7 +414,10 @@ def _shadow_kernel(n_lights: int, light_on: tuple, n_ks: int, n_ksb: int,
             blocked = ok & (t > 0.0) & (t < 1.0)
             return jnp.maximum(occ, blocked.astype(f32))
 
-        occ_o = _loop(n_ksb, shadow_box, zero) if n_ksb else zero
+        occ_o = _loop(
+            n_ksb, shadow_box, zero,
+            count=cnt_ref[2 * n_lights * ti + 2 * li + 1] if dynamic
+            else None) if n_ksb else zero
 
         for p in range(n_pln):
             pnx = pln_ref[p, 0]
@@ -477,6 +540,18 @@ def culled_geometry_pallas(scene: Scene, origins, dirs, tile_p: int, kp: int,
     ksb = min(ksb, n_box) if ksb > 0 else n_box
     interpret = _use_interpret()
 
+    # dynamic trip counts (r4): when the total static scan is long, have
+    # each tile scan only its measured survivor count — the count
+    # distributions are skewed enough (c5 shadow p50 = 0, max = 159) that
+    # this is a >2x kernel win at 4096 objects, and it caps compile time
+    # (no K-length unrolls). Below the threshold the fully-unrolled static
+    # scan pipelines better and stays.
+    n_on = sum(1 for li in range(n_lights)
+               if shadow_lights is None or shadow_lights[li])
+    scan_total = min(kp, n_sph) + (kb if n_box else 0) \
+        + n_on * (min(ks, n_sph) + (ksb if n_box else 0))
+    dynamic = scan_total > _DYNAMIC_THRESHOLD
+
     dirs_t = dirs.reshape(t_tiles, tile_p, 3)
     axis, cos_half = tile_cones(dirs_t)
 
@@ -510,6 +585,13 @@ def culled_geometry_pallas(scene: Scene, origins, dirs, tile_p: int, kp: int,
     dx, dy, dz = _ray_blocks(dirs, t_tiles, br)
 
     # ---- kernel A: primary narrow phase
+    if dynamic:
+        sph_rows = _pad_rows(sph_rows, 1)
+        box_rows = _pad_rows(box_rows, 1)
+        cnt_a = jnp.stack(
+            [jnp.minimum(p_count, kp_eff),
+             jnp.minimum(b_count, kb_eff)],
+            axis=-1).astype(jnp.int32).reshape(-1)          # flat (2T,)
     ray_spec = pl.BlockSpec((1, br, LANE), lambda t: (t, 0, 0),
                             memory_space=pltpu.VMEM)
     sph_spec = pl.BlockSpec((1,) + sph_rows.shape[1:], lambda t: (t, 0, 0),
@@ -517,16 +599,21 @@ def culled_geometry_pallas(scene: Scene, origins, dirs, tile_p: int, kp: int,
     box_spec = pl.BlockSpec((1,) + box_rows.shape[1:], lambda t: (t, 0, 0),
                             memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    # full-array SMEM residency (T*2 i32 = 32 KB at c5's T=4096): Mosaic
+    # requires SMEM operands unblocked, the kernel indexes by program id
+    cnt_a_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     rblk = functools.partial(jax.ShapeDtypeStruct, (t_tiles, br, LANE))
     outs = pl.pallas_call(
-        functools.partial(_primary_kernel, kp_eff, kb_eff, n_pln),
+        functools.partial(_primary_kernel, kp_eff, kb_eff, n_pln, dynamic),
         grid=(t_tiles,),
-        in_specs=[sph_spec, box_spec, full] + [ray_spec] * 3,
+        in_specs=([cnt_a_spec] if dynamic else [])
+        + [sph_spec, box_spec, full] + [ray_spec] * 3,
         out_specs=[ray_spec] * 8,
         out_shape=[rblk(dtype)] * 8,
         interpret=interpret,
-    )(sph_rows, box_rows, pln_tab, dx, dy, dz)
+    )(*(((cnt_a,) if dynamic else ())
+        + (sph_rows, box_rows, pln_tab, dx, dy, dz)))
     t_b, nx_b, ny_b, nz_b, ins_b, mat_b, gid_b, slot_b = outs
 
     t_flat = t_b.reshape(-1)
@@ -625,6 +712,21 @@ def culled_geometry_pallas(scene: Scene, origins, dirs, tile_p: int, kp: int,
     if n_lights and any(light_on):
         ssph = jnp.stack(ssph_rows, axis=1)        # (T, L, Ks, 8)
         sbox = jnp.stack(sbox_rows, axis=1)        # (T, L, Ksb, 24)
+        if dynamic:
+            ks_pre, ksb_pre = ssph.shape[2], sbox.shape[2]
+            ssph = _pad_rows(ssph, 2)
+            sbox = _pad_rows(sbox, 2)
+            cols = []
+            for li in range(n_lights):
+                sc = jnp.minimum(s_counts[li], ks_pre)
+                if hot_infos[li] is not None:
+                    # hot tiles' sphere occlusion is overridden by the dense
+                    # XLA pass — skip their kernel scan entirely
+                    sc = jnp.where(hot_infos[li][0], 0, sc)
+                cols.append(sc)
+                cols.append(jnp.minimum(sb_counts[li], ksb_pre))
+            cnt_b = jnp.stack(cols, axis=-1).astype(jnp.int32) \
+                .reshape(-1)                             # flat (2L*T,)
         lg = jnp.zeros((n_lights, 8), dtype).at[:, :3].set(
             scene.lights.position)
         sx, sy, sz = _ray_blocks(shadow_org, t_tiles, br)
@@ -639,16 +741,19 @@ def culled_geometry_pallas(scene: Scene, origins, dirs, tile_p: int, kp: int,
         occ_spec = pl.BlockSpec((1, n_lights, br, LANE),
                                 lambda t: (t, 0, 0, 0),
                                 memory_space=pltpu.VMEM)
+        cnt_b_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
         occ_shape = jax.ShapeDtypeStruct((t_tiles, n_lights, br, LANE), dtype)
         occ_s, occ_o = pl.pallas_call(
             functools.partial(_shadow_kernel, n_lights, light_on, n_ks,
-                              n_ksb, n_pln),
+                              n_ksb, n_pln, dynamic),
             grid=(t_tiles,),
-            in_specs=[full, ssph_spec, sbox_spec, full] + [ray_spec] * 6,
+            in_specs=([cnt_b_spec] if dynamic else [])
+            + [full, ssph_spec, sbox_spec, full] + [ray_spec] * 6,
             out_specs=[occ_spec] * 2,
             out_shape=[occ_shape] * 2,
             interpret=interpret,
-        )(lg, ssph, sbox, pln_tab, sx, sy, sz, px, py, pz)
+        )(*(((cnt_b,) if dynamic else ())
+            + (lg, ssph, sbox, pln_tab, sx, sy, sz, px, py, pz)))
 
         occ_s = occ_s.reshape(t_tiles, n_lights, tile_p) > 0.5
         occ_o = occ_o.reshape(t_tiles, n_lights, tile_p) > 0.5

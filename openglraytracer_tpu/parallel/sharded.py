@@ -32,14 +32,15 @@ from openglraytracer_tpu.parallel.mesh import AXIS_X, AXIS_Y
          static_argnames=("height", "width", "depth", "chunk_size", "remat",
                           "mirror_only", "mesh", "engine", "cull",
                           "shadow_lights", "with_cull_stats",
-                          "bounce_mask"))
+                          "bounce_mask", "child_cull"))
 def render_sharded(scene: Scene, camera: Camera, height: int, width: int,
                    *, mesh: Mesh, depth: int = 0, chunk_size: int = 512,
                    remat: bool = False, mirror_only: bool = False,
                    engine: str = "auto", cull: tuple | None = None,
                    shadow_lights: tuple | None = None,
                    with_cull_stats: bool = False,
-                   bounce_mask: tuple = (True, True)):
+                   bounce_mask: tuple = (True, True),
+                   child_cull: tuple | None = None):
     """Render (H, W, 3), pixel tiles sharded over the mesh, scene replicated.
 
     Returns a global jax.Array with NamedSharding(mesh, P('dx','dy',None)).
@@ -67,6 +68,15 @@ def render_sharded(scene: Scene, camera: Camera, height: int, width: int,
         assert cull is not None, \
             f"engine='{engine}' needs cull=((th, tw), kp, ks[, hot_m[, kb, ksb]])"
         (cth, ctw), kp, ks, hot_m, kb, ksb = parse_cull_spec(cull)
+        cc = None
+        if child_cull is not None:
+            # bounce children of the culled per-device trace go through the
+            # secondary-ray cone path, same spec contract as ops/render.render
+            # (ADVICE r3: previously unreachable from the sharded/fit path)
+            (xth, xtw), ckp, cks, chot, ckb, cksb = parse_cull_spec(child_cull)
+            assert (xth, xtw) == (cth, ctw), \
+                "child_cull tile must match cull tile"
+            cc = (xth * xtw, ckp, cks, chot, ckb, cksb)
 
         def tile_fn(scene_rep, o_tile, d_tile):
             o = tile_image(o_tile, cth, ctw).reshape(-1, 3)
@@ -76,7 +86,7 @@ def render_sharded(scene: Scene, camera: Camera, height: int, width: int,
                 chunk_size=chunk_size, engine=engine,
                 cull=(cth * ctw, kp, ks, hot_m, kb, ksb),
                 shadow_lights=shadow_lights, with_cull_stats=True,
-                bounce_mask=bounce_mask)
+                bounce_mask=bounce_mask, child_cull=cc)
             img = untile_image(colors, o_tile.shape[0], o_tile.shape[1],
                                cth, ctw)
             return img, jax.lax.psum(ovf, (AXIS_X, AXIS_Y))

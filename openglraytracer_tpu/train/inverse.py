@@ -68,7 +68,12 @@ class FitConfig:
     checkpoint_every: int = 100
     engine: str = "auto"            # 'auto' | 'xla' | 'pallas' | 'culled'
     cull: tuple | None = None       # ((th, tw), kp, ks) for engine='culled'
+    child_cull: tuple | None = None  # bounce-child cull spec (culled engines)
     row_block: int | None = None    # bound memory at high resolutions
+    log_path: str | None = None     # JSONL sink for fit()'s MetricsLogger —
+    # REQUIRED for any acceptance run that scans the log for
+    # cull_overflow_events: without it overflow records go to stderr only
+    # and a file-scanning 'zero overflow' check is vacuous (ADVICE r3)
 
 
 def make_train_step(camera: Camera, cfg: FitConfig, mesh=None,
@@ -93,7 +98,8 @@ def make_train_step(camera: Camera, cfg: FitConfig, mesh=None,
                 depth=cfg.depth, chunk_size=cfg.chunk_size,
                 remat=cfg.remat, engine=cfg.engine,
                 cull=cfg.cull, shadow_lights=shadow_lights,
-                with_cull_stats=True, bounce_mask=bounce_mask)
+                with_cull_stats=True, bounce_mask=bounce_mask,
+                child_cull=cfg.child_cull)
         else:
             img, ovf = render(s, camera, cfg.height, cfg.width,
                               depth=cfg.depth,
@@ -101,7 +107,8 @@ def make_train_step(camera: Camera, cfg: FitConfig, mesh=None,
                               engine=cfg.engine, cull=cfg.cull,
                               row_block=cfg.row_block,
                               shadow_lights=shadow_lights,
-                              with_cull_stats=True, bounce_mask=bounce_mask)
+                              with_cull_stats=True, bounce_mask=bounce_mask,
+                              child_cull=cfg.child_cull)
         return jnp.mean(jnp.square(img - target)), ovf
 
     def init_fn(scene: Scene):
@@ -162,7 +169,7 @@ def fit(scene_init: Scene, target, camera: Camera, cfg: FitConfig,
         if restored is not None:
             params, opt_state, start = restored
 
-    logger = MetricsLogger("fit")
+    logger = MetricsLogger("fit", path=cfg.log_path)
     losses = []
     import time as _time
     from openglraytracer_tpu.ops.shading import static_bounce_mask

@@ -187,7 +187,11 @@ def intersect_box(o, d, mins, maxs, position, angles):
     normal_mat = np.linalg.inv(l2w[:3, :3]).T
     n = n_local @ normal_mat.T
 
-    p_local = ro + t[:, None] * rd
+    # a missed ray's t can be +/-inf (axis-parallel slab divisions); its hit
+    # point is masked downstream, so compute p from a zeroed t to keep the
+    # oracle NaN/RuntimeWarning-clean (VERDICT r3 next #9)
+    t_safe = np.where(miss, 0.0, t)
+    p_local = ro + t_safe[:, None] * rd
     p = (np.concatenate([p_local, np.ones((len(o), 1), dtype)], -1) @ l2w.T)[:, :3]
     t = np.where(miss, -1.0, t)
     return dict(t=t, p=p, n=n, inside=inside)

@@ -42,6 +42,7 @@ def main():
     name = sys.argv[1] if len(sys.argv) > 1 else "c5_grid4096"
     tile_side = int(sys.argv[2]) if len(sys.argv) > 2 else \
         (32 if name == "c5_grid4096" else 64)
+    engine = sys.argv[3] if len(sys.argv) > 3 else "culled"
     builder, h, w, depth = BENCH_CONFIGS[name]
     scene, cam = builder()
     shadow_mask = static_shadow_mask(scene)
@@ -67,19 +68,40 @@ def main():
     tile_p = tile_side * tile_side
     no_shadows = tuple(False for _ in shadow_mask)
 
-    geo_full = jax.jit(lambda s: culled_geometry(
+    if engine == "culled_pallas":
+        from openglraytracer_tpu.ops.pallas_culled import culled_geometry_pallas
+        geo_fn = culled_geometry_pallas
+    else:
+        geo_fn = culled_geometry
+    geo_full = jax.jit(lambda s: geo_fn(
         s, o, d, tile_p, kp, ks, shadow_mask, hot_m, kb, ksb)[:2])
-    geo_prim = jax.jit(lambda s: culled_geometry(
+    geo_prim = jax.jit(lambda s: geo_fn(
         s, o, d, tile_p, kp, ks, no_shadows, hot_m, kb, ksb)[0])
     full = jax.jit(lambda s: trace_rays_fast(
-        s, o, d, depth, engine="culled",
+        s, o, d, depth, engine=engine,
         cull=(tile_p, kp, ks, hot_m, kb, ksb), shadow_lights=shadow_mask))
 
+    # broad phase alone (no narrow): cone masks + compaction + row gathers
+    from openglraytracer_tpu.ops.accel import (compact_mask, sphere_vs_cone,
+                                               tile_cones, _gather_tile_rows,
+                                               _sphere_table)
+
+    def broad_only(s):
+        dirs_t = d.reshape(-1, tile_p, 3)
+        axis, cos_half = tile_cones(dirs_t)
+        pmask = sphere_vs_cone(o[0], axis, cos_half, s.spheres.center,
+                               s.spheres.radius)
+        p_idx, p_valid, p_count = compact_mask(pmask, kp)
+        return _gather_tile_rows(_sphere_table(s), p_idx), p_count
+
+    t_broad = timeit(jax.jit(broad_only), scene)
     t_prim = timeit(geo_prim, scene)
     t_geo = timeit(geo_full, scene)
     t_full = timeit(full, scene)
-    print(f"broad+primary: {t_prim:8.3f} ms")
-    print(f"+shadows:      {t_geo:8.3f} ms  (shadow narrow ~{t_geo - t_prim:.3f} ms)")
+    print(f"engine {engine}")
+    print(f"broad only:    {t_broad:8.3f} ms  (cones + top-k + row gather)")
+    print(f"broad+primary: {t_prim:8.3f} ms  (primary narrow ~{t_prim - t_broad:.3f} ms)")
+    print(f"+shadows:      {t_geo:8.3f} ms  (shadow phase ~{t_geo - t_prim:.3f} ms)")
     print(f"+shading:      {t_full:8.3f} ms  (mat rows + phong ~{t_full - t_geo:.3f} ms)")
 
 

@@ -219,3 +219,66 @@ def test_culled_pallas_rejects_unaligned_tile():
     o, d = _tiled_rays(cam)
     with pytest.raises(AssertionError, match="128"):
         culled_geometry_pallas(scene, o, d, 64, 4, 4)
+
+
+# ---------------------------------------------------------------------------
+# Dynamic trip counts (r4): each tile scans only its measured survivor count
+# (counts as SMEM inputs, chunked fori_loop). Must be output-identical to
+# the static scan — invalid rows never update the carry, so the only change
+# is skipped dead work. Forced on here by dropping the threshold.
+# ---------------------------------------------------------------------------
+
+@pytest.fixture
+def force_dynamic(monkeypatch):
+    from openglraytracer_tpu.ops import pallas_culled
+    monkeypatch.setattr(pallas_culled, "_DYNAMIC_THRESHOLD", -1)
+
+
+def test_dynamic_counts_match_culled_spheres(force_dynamic):
+    scene, cam = sphere_grid_scene(8)
+    kp, ks = suggest_cull_sizes(scene, cam, H, W, TILE)
+    o, d = _tiled_rays(cam)
+    _assert_matches_culled(scene, o, d, kp, ks)
+
+
+def test_dynamic_counts_match_culled_obb(force_dynamic):
+    scene, cam = _animated_scene()
+    from openglraytracer_tpu.ops.accel import parse_cull_spec
+    spec = suggest_cull_config(scene, cam, H, W, TILE)
+    _, kp, ks, hot_m, kb, ksb = parse_cull_spec(spec)
+    o, d = _tiled_rays(cam)
+    _assert_matches_culled(scene, o, d, kp, ks, hot_m, kb, ksb)
+
+
+def test_dynamic_counts_hot_tiles(force_dynamic):
+    """Hot tiles' sphere counts are zeroed (the dense pass overrides their
+    occlusion) — the composition must still match accel.py exactly."""
+    scene, cam = sphere_grid_scene(8)
+    kp, ks = suggest_cull_sizes(scene, cam, H, W, TILE)
+    o, d = _tiled_rays(cam)
+    _assert_matches_culled(scene, o, d, kp, max(2, ks // 2), hot_m=4)
+
+
+def test_dynamic_counts_gradients(force_dynamic):
+    scene, cam = sphere_grid_scene(4)
+    kp, ks = suggest_cull_sizes(scene, cam, H, W, TILE)
+    o, d = _tiled_rays(cam)
+    target = jnp.zeros((H * W, 3), jnp.float32)
+    params = extract_params(scene, ("spheres.center", "materials.diffuse"))
+    cull = (TILE_P, kp, ks)
+
+    def loss(params, engine):
+        s = apply_params(scene, params)
+        img = trace_rays_fast(s, o, d, 0, engine=engine, cull=cull)
+        return jnp.mean(jnp.square(img - target))
+
+    g_c = jax.grad(loss)(params, "culled")
+    g_p = jax.grad(loss)(params, "culled_pallas")
+    for k in params:
+        a, b = np.asarray(g_c[k]), np.asarray(g_p[k])
+        scale = max(np.abs(a).max(), 1e-8)
+        # 3e-4: the kernel's per-survivor scalar contraction rounds hit.p/t
+        # differently from the culled engine's vector layout; the shared VJP
+        # then replays those slightly-different residuals
+        np.testing.assert_allclose(b, a, atol=3e-4 * scale,
+                                   err_msg=f"grad mismatch for {k}")
