@@ -157,6 +157,10 @@ def bench_config(name: str, scene, cam, height: int, width: int, depth: int,
         # cones (fewer survivors/tile) but multiply per-tile fixed costs;
         # 64 wins at 64 objects, 32 wins at 4096 (kp 232 -> 72, +25%)
         tile = (tile_side, tile_side)
+        # hot-tile sizing measured best for BOTH narrow phases on v5e r4:
+        # hot=False (ks from global max, no dense pass) was 69.4 ms vs
+        # 66.6 ms on c5 culled_pallas — the XLA dense pass over the few
+        # hottest tiles beats making kernel B scan their long lists
         spec = suggest_cull_config(scene, cam, height, width, tile,
                                    shadow_lights=shadow_mask)
         _, kp, ks, hot_m, kb, ksb = parse_cull_spec(spec)

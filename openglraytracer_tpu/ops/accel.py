@@ -188,6 +188,126 @@ def compact_mask(mask, k: int):
 
 
 # ---------------------------------------------------------------------------
+# Two-level (coarse strip -> fine tile) cull compaction (r4)
+# ---------------------------------------------------------------------------
+# The single-level broad phase costs O(T x N) cone tests plus a top-k over
+# (T, N) keys; the top-k is the measured c5 bottleneck (23 ms of a 66 ms
+# frame, scripts/trace_c5.py). Grouping _COARSE_GROUP consecutive tile-major
+# fine tiles into a coarse strip whose cone CONTAINS every member cone
+# shrinks both: the coarse level tests (T/G, N), the fine level tests and
+# compacts only (T, Kc) coarse survivors. Because the coarse cone is a
+# conservative union, an object passing the fine test always passes the
+# coarse test — the fine survivor lists are BIT-IDENTICAL to the
+# single-level ones (same sets, same ascending order) whenever the coarse
+# list did not overflow Kc; a coarse overflow is surfaced through the
+# count contract (count forced > k) so it is never silent.
+
+_COARSE_GROUP = 16       # fine tiles per coarse strip
+_COARSE_MIN_N = 512      # dense compaction below this object count
+_COARSE_FACTOR = 6       # Kc = min(N, _COARSE_FACTOR * k)
+
+
+def cone_union(axis_f, cos_f, member_valid=None):
+    """Conservative union of member cones sharing an apex.
+
+    axis_f (Tc, G, 3) unit axes, cos_f (Tc, G) cos(half-angle);
+    member_valid (Tc, G) — False members are excluded (they keep nothing).
+    Returns (axis_c (Tc, 3), cos_c (Tc,)): a cone containing every valid
+    member cone: cos_c = min_i cos(angle(axis_c, axis_i) + theta_i),
+    evaluated sqrt-wise. Strips whose members are all invalid get
+    cos_c = 1 with an arbitrary axis (callers mask them out)."""
+    if member_valid is None:
+        member_valid = jnp.ones(axis_f.shape[:2], bool)
+    mv = member_valid[..., None]
+    s = jnp.sum(jnp.where(mv, axis_f, 0.0), axis=1)
+    axc = s * jax.lax.rsqrt(jnp.maximum(jnp.sum(s * s, -1, keepdims=True),
+                                        _SQRT_EPS))
+    ca = jnp.clip(jnp.sum(axc[:, None, :] * axis_f, -1), -1.0, 1.0)
+    sa = jnp.sqrt(jnp.maximum(1.0 - ca * ca, 0.0))
+    cf = jnp.clip(cos_f, -1.0, 1.0)
+    sf = jnp.sqrt(jnp.maximum(1.0 - cf * cf, 0.0))
+    # cos(angle_i + theta_i); any member with theta >= 90deg (cf <= 0) keeps
+    # everything, so the union must too (the sum formula can miss this when
+    # the member axis opposes the union axis)
+    expr = jnp.where(member_valid, ca * cf - sa * sf, 1.0)
+    cosc = jnp.min(expr, axis=1)
+    any_open = jnp.any(member_valid & (cos_f <= 0.0), axis=1)
+    cosc = jnp.where(any_open, -1.0, cosc)
+    return axc, jnp.clip(cosc, -1.0, 1.0)
+
+
+def cull_compact(apex, axis, cos_half, centers, radii, k: int,
+                 max_dist=None, tile_valid=None):
+    """sphere_vs_cone + compact_mask, computed two-level when profitable.
+
+    apex (3,) shared by every tile (pinhole origin or light position);
+    axis (T, 3); cos_half (T,); optional max_dist (T,) range prune and
+    tile_valid (T,) (False tiles keep nothing). Returns (idx (T, K), valid,
+    count) — identical to the dense compact_mask(sphere_vs_cone(...), k)
+    result, except that a coarse-level overflow forces count > k (reported,
+    never silent)."""
+    t_tiles = axis.shape[0]
+    n = centers.shape[0]
+    g = _COARSE_GROUP
+    if n < _COARSE_MIN_N or t_tiles % g or t_tiles // g < 2:
+        mask = sphere_vs_cone(apex, axis, cos_half, centers, radii,
+                              max_dist=max_dist)
+        if tile_valid is not None:
+            mask = mask & tile_valid[:, None]
+        return compact_mask(mask, k)
+
+    tc = t_tiles // g
+    mv = (tile_valid.reshape(tc, g) if tile_valid is not None
+          else jnp.ones((tc, g), bool))
+    axc, cosc = cone_union(axis.reshape(tc, g, 3),
+                           cos_half.reshape(tc, g), mv)
+    md_c = None
+    if max_dist is not None:
+        md_c = jnp.max(jnp.where(mv, max_dist.reshape(tc, g),
+                                 -jnp.inf), axis=1)
+    cmask = sphere_vs_cone(apex, axc, cosc, centers, radii, max_dist=md_c)
+    cmask = cmask & jnp.any(mv, axis=1)[:, None]
+    kc = min(n, _COARSE_FACTOR * k)
+    c_idx, c_valid, c_count = compact_mask(cmask, kc)       # (Tc, Kc)
+
+    # fine test against the gathered coarse survivors, (Tc, G, Kc) layout
+    rows = _gather_tile_rows(
+        jnp.concatenate([centers, radii[:, None]], axis=-1), c_idx)
+    apex = jnp.asarray(apex)
+    vx = rows[..., 0][:, None, :] - apex[0]                 # (Tc, 1->G, Kc)
+    vy = rows[..., 1][:, None, :] - apex[1]
+    vz = rows[..., 2][:, None, :] - apex[2]
+    d2 = vx * vx + vy * vy + vz * vz
+    inv_d = jax.lax.rsqrt(jnp.maximum(d2, _SQRT_EPS))
+    ax_f = axis.reshape(tc, g, 3)
+    ca = (ax_f[..., 0:1] * vx + ax_f[..., 1:2] * vy
+          + ax_f[..., 2:3] * vz) * inv_d                    # (Tc, G, Kc)
+    r_eff = rows[..., 3][:, None, :]
+    inside = d2 <= r_eff * r_eff
+    sin_r = jnp.minimum(r_eff * inv_d, 1.0)
+    cos_r = jnp.sqrt(jnp.maximum(1.0 - sin_r * sin_r, 0.0))
+    ch = cos_half.reshape(tc, g)[..., None]
+    sh = jnp.sqrt(jnp.maximum(1.0 - ch * ch, 0.0))
+    keep = ca >= ch * cos_r - sh * sin_r
+    keep = keep | inside | (ch <= 0.0)
+    if max_dist is not None:
+        keep = keep & (jnp.sqrt(d2) - r_eff
+                       <= max_dist.reshape(tc, g)[..., None])
+    keep = keep & c_valid[:, None, :] & mv[..., None]
+    fmask = keep.reshape(t_tiles, c_idx.shape[-1])
+
+    f_loc, f_valid, f_count = compact_mask(fmask, k)        # idx into Kc
+    c_idx_f = jnp.repeat(c_idx, g, axis=0)                  # (T, Kc)
+    idx = jnp.take_along_axis(c_idx_f, f_loc, axis=-1)
+    idx = jnp.where(f_valid, idx, 0)
+    # coarse overflow => fine counts are lower bounds: force the overflow
+    # signal so the never-silent contract holds
+    ovf_c = jnp.repeat((c_count > kc) & jnp.any(mv, axis=1), g, axis=0)
+    f_count = jnp.where(ovf_c, jnp.maximum(f_count, k + 1), f_count)
+    return idx.astype(jnp.int32), f_valid, f_count
+
+
+# ---------------------------------------------------------------------------
 # Culled geometry: forward
 # ---------------------------------------------------------------------------
 
@@ -208,14 +328,12 @@ def box_bounding_spheres(scene: Scene):
     return centers, radii
 
 
-def shadow_cull_mask(scene: Scene, shadow_org, hit_mask, tile_p: int, lpos,
-                     centers=None, radii=None):
-    """Conservative per-tile occluder mask (T, N) for one light: a cone from
-    the light containing the tile's bounding box of shadow-ray origins, plus
-    a range prune. Empty tiles (no hits) keep nothing.
-
-    centers/radii default to the scene's spheres; pass box bounding spheres
-    to cull OBB occluders."""
+def shadow_tile_cones(shadow_org, hit_mask, tile_p: int, lpos):
+    """Per-tile shadow cone for one light: apex = light, cone contains the
+    tile's bounding box of shadow-ray origins, plus the range prune.
+    Returns (axis (T, 3), cos_half (T,), max_d (T,), empty (T,)) — empty
+    tiles (no hits) keep nothing. Object-independent: computed once per
+    light and shared by the sphere and box occluder culls."""
     dtype = shadow_org.dtype
     t_tiles = shadow_org.shape[0] // tile_p
     so_t = shadow_org.reshape(t_tiles, tile_p, 3)
@@ -240,10 +358,23 @@ def shadow_cull_mask(scene: Scene, shadow_org, hit_mask, tile_p: int, lpos,
         jnp.maximum(jnp.sum(axis_s * axis_s, -1, keepdims=True), _SQRT_EPS))
     cos_s = jnp.min(jnp.sum(axis_s[:, None, :] * cdir, -1), axis=1)
     max_d = jnp.max(clen, axis=1)
+    return axis_s, jnp.clip(cos_s, -1.0, 1.0), max_d, empty
+
+
+def shadow_cull_mask(scene: Scene, shadow_org, hit_mask, tile_p: int, lpos,
+                     centers=None, radii=None):
+    """Conservative per-tile occluder mask (T, N) for one light: a cone from
+    the light containing the tile's bounding box of shadow-ray origins, plus
+    a range prune. Empty tiles (no hits) keep nothing.
+
+    centers/radii default to the scene's spheres; pass box bounding spheres
+    to cull OBB occluders."""
+    axis_s, cos_s, max_d, empty = shadow_tile_cones(shadow_org, hit_mask,
+                                                    tile_p, lpos)
     if centers is None:
         centers, radii = scene.spheres.center, scene.spheres.radius
-    smask = sphere_vs_cone(lpos, axis_s, jnp.clip(cos_s, -1.0, 1.0),
-                           centers, radii, max_dist=max_d)
+    smask = sphere_vs_cone(lpos, axis_s, cos_s, centers, radii,
+                           max_dist=max_d)
     return smask & (~empty)[:, None]
 
 
@@ -493,12 +624,16 @@ def culled_geometry(scene: Scene, origins, dirs, tile_p: int, kp: int,
             origins_t, dirs_t, act_t)
 
     if n_sph:
-        # ---- primary broad phase
-        pmask = sphere_vs_cone(apex, axis, cos_half, centers, radii,
-                               expand=expand)
-        if not shared:
+        # ---- primary broad phase (two-level coarse->fine when profitable;
+        # secondary bundles have per-tile apexes, so they stay single-level)
+        if shared:
+            p_idx, p_valid, p_count = cull_compact(apex, axis, cos_half,
+                                                   centers, radii, kp)
+        else:
+            pmask = sphere_vs_cone(apex, axis, cos_half, centers, radii,
+                                   expand=expand)
             pmask = pmask & (~empty_t)[:, None]
-        p_idx, p_valid, p_count = compact_mask(pmask, kp)
+            p_idx, p_valid, p_count = compact_mask(pmask, kp)
         kp_eff = p_idx.shape[-1]
         rows = _gather_tile_rows(_sphere_table(scene), p_idx)  # (T, Kp, 6)
         cx, cy, cz = rows[..., 0], rows[..., 1], rows[..., 2]  # (T, Kp)
@@ -589,11 +724,14 @@ def culled_geometry(scene: Scene, origins, dirs, tile_p: int, kp: int,
     if n_box:
         btab = _box_table(scene)
         bc_bs, br_bs = box_bounding_spheres(scene)
-        bmask = sphere_vs_cone(apex, axis, cos_half, bc_bs, br_bs,
-                               expand=expand)
-        if not shared:
+        if shared:
+            b_idx, b_valid, b_count = cull_compact(apex, axis, cos_half,
+                                                   bc_bs, br_bs, kb)
+        else:
+            bmask = sphere_vs_cone(apex, axis, cos_half, bc_bs, br_bs,
+                                   expand=expand)
             bmask = bmask & (~empty_t)[:, None]
-        b_idx, b_valid, b_count = compact_mask(bmask, kb)
+            b_idx, b_valid, b_count = compact_mask(bmask, kb)
         kb_eff = b_idx.shape[-1]
         brows = _gather_tile_rows(btab, b_idx)              # (T, Kb, 20)
         tb, okb, insb, (nbx, nby, nbz) = _box_narrow(brows, b_valid, o0,
@@ -688,11 +826,13 @@ def culled_geometry(scene: Scene, origins, dirs, tile_p: int, kp: int,
             continue
         lpos = scene.lights.position[li]
         occ_t = jnp.zeros((t_tiles, tile_p), bool)
+        axis_s, cos_s, max_d, empty_s = shadow_tile_cones(
+            shadow_org, hit_mask, tile_p, lpos)
 
         if n_sph:
-            smask = shadow_cull_mask(scene, shadow_org, hit_mask, tile_p,
-                                     lpos)
-            s_idx, s_valid, s_count = compact_mask(smask, ks)
+            s_idx, s_valid, s_count = cull_compact(
+                lpos, axis_s, cos_s, centers, radii, ks, max_dist=max_d,
+                tile_valid=~empty_s)
             s_counts.append(s_count)
             srows = _gather_tile_rows(
                 jnp.concatenate([centers, radii[:, None]], -1), s_idx)
@@ -726,9 +866,9 @@ def culled_geometry(scene: Scene, origins, dirs, tile_p: int, kp: int,
             s_overflow.append(zero_o)
 
         if n_box:
-            bsmask = shadow_cull_mask(scene, shadow_org, hit_mask, tile_p,
-                                      lpos, centers=bc_bs, radii=br_bs)
-            sb_idx, sb_valid, sb_cnt = compact_mask(bsmask, ksb)
+            sb_idx, sb_valid, sb_cnt = cull_compact(
+                lpos, axis_s, cos_s, bc_bs, br_bs, ksb, max_dist=max_d,
+                tile_valid=~empty_s)
             sbrows = _gather_tile_rows(btab, sb_idx)
             occ_t = occ_t | _box_segment_occluded(sbrows, sb_valid, so_t,
                                                   p_t, lpos)
@@ -1190,25 +1330,32 @@ def check_cull_overflow(scene: Scene, camera, height: int, width: int,
 def suggest_cull_config(scene: Scene, camera, height: int, width: int,
                         tile=(32, 32), headroom: float = 1.5,
                         min_k: int = 8,
-                        shadow_lights: tuple | None = None):
+                        shadow_lights: tuple | None = None,
+                        hot: bool = True):
     """Full cull spec — ((th, tw), kp, ks, hot_m) for sphere/plane scenes,
     ((th, tw), kp, ks, hot_m, kb, ksb) when the scene has OBBs — with the
     hot-tile shadow strategy: sweep M over a small grid and pick the
     (ks(M), M) minimizing the modeled narrow-phase cost T*ks + M*N per light
     — ks(M) is the (M+1)-th largest per-tile occluder count, i.e. the max
     over the COLD tiles, so cold tiles never drop occluders at suggestion
-    time. Box sizes are max-count based (box populations are small)."""
+    time. Box sizes are max-count based (box populations are small).
+
+    hot=False sizes ks from the GLOBAL max (x headroom) with hot_m = 0 —
+    the right strategy for the dynamic-trip-count Pallas engine (r4): each
+    tile scans only its true count, so a long static K costs list memory
+    (cheap) instead of scan work, and the XLA dense hot pass would be pure
+    overhead."""
     if shadow_lights is None:
         from openglraytracer_tpu.ops.shading import static_shadow_mask
         shadow_lights = static_shadow_mask(scene)
     p_count, s_count, pb_count, sb_count = cull_counts(
         scene, camera, height, width, tile, shadow_lights)
     return _spec_from_counts(scene, p_count, s_count, pb_count, sb_count,
-                             tile, headroom, min_k)
+                             tile, headroom, min_k, hot)
 
 
 def _spec_from_counts(scene: Scene, p_count, s_count, pb_count, sb_count,
-                      tile, headroom: float, min_k: int):
+                      tile, headroom: float, min_k: int, hot: bool = True):
     """Size a cull spec from measured survivor counts (shared by
     suggest_cull_config and suggest_child_cull_config)."""
     n = int(scene.spheres.count)
@@ -1229,6 +1376,10 @@ def _spec_from_counts(scene: Scene, p_count, s_count, pb_count, sb_count,
     kp = rounded(int(jnp.max(p_count))) if n else min_k
     if not s_count.size:
         return (tile, kp, min_k, 0) + box_spec()
+
+    if not hot:
+        ks = rounded(int(np.max(np.asarray(s_count))))
+        return (tile, kp, ks, 0) + box_spec()
 
     counts = np.sort(np.asarray(s_count), axis=-1)[:, ::-1]  # (L, T) desc
     t_tiles = counts.shape[-1]

@@ -65,9 +65,8 @@ from openglraytracer_tpu.ops.accel import (
     _segment_occluded,
     _sphere_table,
     box_bounding_spheres,
-    compact_mask,
-    shadow_cull_mask,
-    sphere_vs_cone,
+    cull_compact,
+    shadow_tile_cones,
     tile_cones,
 )
 from openglraytracer_tpu.ops.intersect import INF_T, Hit, _DIV_EPS, _SQRT_EPS
@@ -555,11 +554,12 @@ def culled_geometry_pallas(scene: Scene, origins, dirs, tile_p: int, kp: int,
     dirs_t = dirs.reshape(t_tiles, tile_p, 3)
     axis, cos_half = tile_cones(dirs_t)
 
-    # ---- broad phase (identical to accel.culled_geometry)
+    # ---- broad phase (identical to accel.culled_geometry: two-level
+    # coarse->fine compaction when profitable)
     if n_sph:
-        pmask = sphere_vs_cone(o0, axis, cos_half, scene.spheres.center,
-                               scene.spheres.radius)
-        p_idx, p_valid, p_count = compact_mask(pmask, kp)
+        p_idx, p_valid, p_count = cull_compact(
+            o0, axis, cos_half, scene.spheres.center, scene.spheres.radius,
+            kp)
         sph_rows = _primary_sphere_rows(scene, o0, p_idx, p_valid)
     else:
         p_idx = jnp.zeros((t_tiles, 0), jnp.int32)
@@ -570,8 +570,8 @@ def culled_geometry_pallas(scene: Scene, origins, dirs, tile_p: int, kp: int,
 
     if n_box:
         bc_bs, br_bs = box_bounding_spheres(scene)
-        bmask = sphere_vs_cone(o0, axis, cos_half, bc_bs, br_bs)
-        b_idx, b_valid, b_count = compact_mask(bmask, kb)
+        b_idx, b_valid, b_count = cull_compact(o0, axis, cos_half,
+                                               bc_bs, br_bs, kb)
         box_rows = _primary_box_rows(scene, o0, b_idx, b_valid)
     else:
         b_idx = jnp.zeros((t_tiles, 0), jnp.int32)
@@ -667,10 +667,13 @@ def culled_geometry_pallas(scene: Scene, origins, dirs, tile_p: int, kp: int,
             hot_infos.append(None)
             continue
         lpos = scene.lights.position[li]
+        axis_s, cos_s, max_d, empty_s = shadow_tile_cones(
+            shadow_org, hit_mask, tile_p, lpos)
         if n_sph:
-            smask = shadow_cull_mask(scene, shadow_org, hit_mask, tile_p,
-                                     lpos)
-            s_idx, s_valid, s_count = compact_mask(smask, ks)
+            s_idx, s_valid, s_count = cull_compact(
+                lpos, axis_s, cos_s, scene.spheres.center,
+                scene.spheres.radius, ks, max_dist=max_d,
+                tile_valid=~empty_s)
             s_counts.append(s_count)
             ssph_rows.append(_shadow_sphere_rows(scene, s_idx, s_valid))
             if hot_m > 0:
@@ -698,9 +701,9 @@ def culled_geometry_pallas(scene: Scene, origins, dirs, tile_p: int, kp: int,
             ssph_rows.append(jnp.zeros((t_tiles, max(ks_eff, 1), 8), dtype))
             hot_infos.append(None)
         if n_box:
-            bsmask = shadow_cull_mask(scene, shadow_org, hit_mask, tile_p,
-                                      lpos, centers=bc_bs, radii=br_bs)
-            sb_idx, sb_valid, sb_cnt = compact_mask(bsmask, ksb)
+            sb_idx, sb_valid, sb_cnt = cull_compact(
+                lpos, axis_s, cos_s, bc_bs, br_bs, ksb, max_dist=max_d,
+                tile_valid=~empty_s)
             sbox_rows.append(_shadow_box_rows(scene, sb_idx, sb_valid))
             sb_counts.append(sb_cnt)
             sb_overflow.append(jnp.sum(sb_cnt > ksb, dtype=jnp.int32))

@@ -25,14 +25,22 @@ from openglraytracer_tpu.ops.render import trace_rays_fast
 from openglraytracer_tpu.ops.shading import static_shadow_mask
 
 
-def timeit(fn, *args, k=5):
-    out = fn(*args)
-    jax.block_until_ready(out)
+def timeit(fn, scene, k=5):
+    """Time fn(scene) with a DIFFERENT scene per call — the axon backend
+    caches identical executions, so repeated same-input calls can report the
+    dispatch floor instead of device time (bench.py's chained-step rule)."""
+    def perturbed(i):
+        return scene._replace(spheres=scene.spheres._replace(
+            radius=scene.spheres.radius + jnp.float32(1e-7) * (i + 1)))
+
+    variants = [perturbed(i) for i in range(3 * k)]   # all device-resident
+    jax.block_until_ready([v.spheres.radius for v in variants])
+    jax.block_until_ready(fn(scene))        # compile
     best = float("inf")
-    for _ in range(3):
+    for w in range(3):
         t0 = time.perf_counter()
-        for _ in range(k):
-            out = fn(*args)
+        for i in range(k):
+            out = fn(variants[w * k + i])
         jax.block_until_ready(out)
         best = min(best, (time.perf_counter() - t0) / k)
     return best * 1e3
