@@ -94,21 +94,41 @@ def _chip_hbm() -> float | None:
     return None
 
 
+def _perturb(tree, i: int):
+    """Tiny per-call input perturbation: the axon backend caches identical
+    executions, so repeated same-input calls can report the ~20 us dispatch
+    floor instead of device time (caught in r4: c3 fwd read 5.2 ms cached
+    vs 7.4 ms honest). Every float leaf shifts by (i+1)e-7 — timing-neutral,
+    cache-defeating."""
+    eps = (i + 1) * 1e-7
+
+    def bump(x):
+        x = jnp.asarray(x)
+        return x + jnp.asarray(eps, x.dtype) \
+            if jnp.issubdtype(x.dtype, jnp.floating) else x
+
+    return jax.tree_util.tree_map(bump, tree)
+
+
 def _pipelined(fn, args, k: int = 10, windows: int = 3) -> tuple:
     """Best per-call wall time over `windows` windows of k back-to-back
-    dispatches, synced once per window. Returns (best_s, first_call_s) —
-    first_call_s is trace+lower+compile+run wall time (compile honesty,
-    VERDICT r3 next #2; the persistent compile cache makes warm-start runs
-    report a much smaller number, which is the deployed truth)."""
+    dispatches, synced once per window, each call on a distinctly-perturbed
+    input (see _perturb). Returns (best_s, first_call_s) — first_call_s is
+    trace+lower+compile+run wall time (compile honesty, VERDICT r3 next #2;
+    the persistent compile cache makes warm-start runs report a much
+    smaller number, which is the deployed truth)."""
+    variants = [tuple(_perturb(a, i) for a in args)
+                for i in range(windows * k)]
+    jax.block_until_ready(variants)
     t0 = time.perf_counter()
     out = fn(*args)
     jax.block_until_ready(out)  # compile + warm
     first = time.perf_counter() - t0
     best = float("inf")
-    for _ in range(windows):
+    for w in range(windows):
         t0 = time.perf_counter()
-        for _ in range(k):
-            out = fn(*args)
+        for i in range(k):
+            out = fn(*variants[w * k + i])
         jax.block_until_ready(out)
         best = min(best, (time.perf_counter() - t0) / k)
     return best, first

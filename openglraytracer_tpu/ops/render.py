@@ -182,6 +182,18 @@ def trace_rays_fast(scene: Scene, origins, dirs, depth: int = 0,
                                hot_m, kb, ksb)
         mat_rows = culled_material_rows(scene, hit, aux, tile_p)
         ovf = cull_overflow_count(aux)
+        if engine == "culled_pallas":
+            # fused Mosaic shade (ops/pallas_shade.py): one VMEM pass over
+            # the ray tile instead of XLA's HBM-materialized per-light
+            # chain; gradients replay phong_core so the fit is unchanged
+            from openglraytracer_tpu.ops.pallas_shade import shade_fused
+
+            def shade(hit, occ, mat_rows):
+                return shade_fused(scene, dirs, hit, occ, mat_rows, tile_p)
+        else:
+            def shade(hit, occ, mat_rows):
+                return phong_shade_lit(scene, dirs, hit, occ,
+                                       mat_rows=mat_rows)
 
         if depth > 0:
             ovf_acc = [ovf]
@@ -199,16 +211,17 @@ def trace_rays_fast(scene: Scene, origins, dirs, depth: int = 0,
                                            engine="xla",
                                            shadow_lights=shadow_lights,
                                            bounce_mask=bounce_mask)
-            color = phong_shade_lit(scene, dirs, hit, occ, mat_rows=mat_rows)
+            color = shade(hit, occ, mat_rows)
             color = _apply_bounces(scene, dirs, hit, color, depth, recurse,
                                    bounce_mask, mat_rows=mat_rows)
             color = jnp.where(hit.hit[:, None], color, 0.0)
             ovf = sum(ovf_acc[1:], ovf_acc[0])
             return (color, ovf) if with_cull_stats else color
+        color = shade(hit, occ, mat_rows)
     else:
         hit, occ = geometry_op(scene, origins, dirs, engine, chunk_size,
                                shadow_lights)
-    color = phong_shade_lit(scene, dirs, hit, occ, mat_rows=mat_rows)
+        color = phong_shade_lit(scene, dirs, hit, occ, mat_rows=mat_rows)
     if depth > 0:
         color = _apply_bounces(
             scene, dirs, hit, color, depth,

@@ -127,6 +127,43 @@ def shadow_masks(scene: Scene, hit: Hit, chunk_size: int = 512,
     return jnp.stack(cols, axis=-1)
 
 
+def phong_core(mat_rows, lpos, lamb, ldiff, lspec, dirs, p, n, occluded):
+    """ADS Phong from raw arrays — the single source of the lighting math,
+    shared by the XLA path (here) and the fused Pallas shade kernel's VJP
+    replay (ops/pallas_shade.py). mat_rows (R, 20) packed material rows
+    (material_table layout); lpos/lamb/ldiff/lspec the (L, ...) light
+    columns; occluded (R, L) bool. Returns (R, 3)."""
+    ambient = jnp.zeros_like(mat_rows[..., 0:4])    # (R, 4)
+    diffuse = jnp.zeros_like(ambient)
+    specular = jnp.zeros_like(ambient)
+    m_amb = mat_rows[..., 0:4]
+    m_diff = mat_rows[..., 4:8]
+    m_spec = mat_rows[..., 8:12]
+    m_emis = mat_rows[..., 12:16]
+    m_shin = mat_rows[..., 16]
+
+    view_dir = _safe_normalize(-dirs)         # normalize(-r.dir) (:827)
+
+    for j in range(lpos.shape[0]):
+        ambient = ambient + lamb[j] * m_amb
+
+        to_light = lpos[j] - p                # unnormalized segment (:809)
+        light_dir = _safe_normalize(to_light)
+        lit = (~occluded[:, j])[:, None].astype(dirs.dtype)
+
+        light_ref = _safe_normalize(reflect(-light_dir, n))
+        cos_theta = jnp.sum(light_dir * n, axis=-1, keepdims=True)
+        cos_phi = jnp.sum(view_dir * light_ref, axis=-1, keepdims=True)
+
+        diffuse = diffuse + lit * ldiff[j] * m_diff \
+            * jnp.maximum(cos_theta, 0.0)
+        specular = specular + lit * lspec[j] * m_spec \
+            * _safe_pow(cos_phi, m_shin[:, None])
+
+    phong = ambient + diffuse + specular + m_emis
+    return phong[..., :3] * phong[..., 3:4]   # rgb * alpha (:839)
+
+
 def phong_shade_lit(scene: Scene, dirs, hit: Hit, occluded,
                     mat_rows=None) -> jnp.ndarray:
     """ADS Phong given precomputed occlusion masks occluded (R, L) —
@@ -136,35 +173,13 @@ def phong_shade_lit(scene: Scene, dirs, hit: Hit, occluded,
     mat_rows: optional precomputed (R, 20) packed material rows (the culled
     engine supplies them via its tile survivor lists, skipping the slow
     global per-ray gather for large material tables)."""
-    mat = (materials_from_rows(scene, mat_rows) if mat_rows is not None
-           else gather_materials(scene, hit.material_id))
+    if mat_rows is None:
+        from openglraytracer_tpu.ops.gathers import gather_rows
+        mat_rows = gather_rows(material_table(scene), hit.material_id)
     lights = scene.lights
-
-    ambient = jnp.zeros_like(mat.ambient)     # (R, 4)
-    diffuse = jnp.zeros_like(mat.diffuse)
-    specular = jnp.zeros_like(mat.specular)
-
-    view_dir = _safe_normalize(-dirs)         # normalize(-r.dir) (:827)
-
-    for j in range(lights.count):
-        lpos = lights.position[j]
-        ambient = ambient + lights.ambient[j] * mat.ambient
-
-        to_light = lpos - hit.p               # unnormalized segment (:809)
-        light_dir = _safe_normalize(to_light)
-        lit = (~occluded[:, j])[:, None].astype(dirs.dtype)
-
-        light_ref = _safe_normalize(reflect(-light_dir, hit.n))
-        cos_theta = jnp.sum(light_dir * hit.n, axis=-1, keepdims=True)
-        cos_phi = jnp.sum(view_dir * light_ref, axis=-1, keepdims=True)
-
-        diffuse = diffuse + lit * lights.diffuse[j] * mat.diffuse \
-            * jnp.maximum(cos_theta, 0.0)
-        specular = specular + lit * lights.specular[j] * mat.specular \
-            * _safe_pow(cos_phi, mat.shininess[:, None])
-
-    phong = ambient + diffuse + specular + mat.emissive
-    return phong[..., :3] * phong[..., 3:4]   # rgb * alpha (:839)
+    return phong_core(mat_rows, lights.position, lights.ambient,
+                      lights.diffuse, lights.specular, dirs, hit.p, hit.n,
+                      occluded)
 
 
 def phong_shade(scene: Scene, dirs, hit: Hit, chunk_size: int = 512,
