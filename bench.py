@@ -207,6 +207,14 @@ def bench_config(name: str, scene, cam, height: int, width: int, depth: int,
                                bounce_mask=bounce_mask,
                                child_cull=child_cull)
 
+    def forward_train(scene):
+        # training path: XLA shade (the fused Mosaic shade is forward-only —
+        # its VJP replays the phong forward inside the backward)
+        return trace_rays_fast(scene, o, d, depth, engine=engine, cull=cull,
+                               shadow_lights=shadow_mask,
+                               bounce_mask=bounce_mask,
+                               child_cull=child_cull, fused_shade=False)
+
     fwd_jit = jax.jit(forward)
     t_fwd, c_fwd = _pipelined(fwd_jit, (scene,), k=k, windows=windows)
 
@@ -220,7 +228,7 @@ def bench_config(name: str, scene, cam, height: int, width: int, depth: int,
 
     def loss_fn(params, scene, target):
         s = apply_params(scene, params)
-        img = forward(s)
+        img = forward_train(s)
         return jnp.mean(jnp.square(img - target))
 
     @jax.jit

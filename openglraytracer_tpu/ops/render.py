@@ -131,7 +131,8 @@ def trace_rays_fast(scene: Scene, origins, dirs, depth: int = 0,
                     shadow_lights: tuple | None = None,
                     with_cull_stats: bool = False,
                     bounce_mask: tuple | None = None,
-                    child_cull: tuple | None = None):
+                    child_cull: tuple | None = None,
+                    fused_shade: bool = True):
     """Trace with the analytic O(rays) geometry VJP (ops/geometry.py):
     forward identical to trace_rays; backward gathers each ray's winning
     object, replays one candidate computation, and scatter-adds — instead of
@@ -182,10 +183,14 @@ def trace_rays_fast(scene: Scene, origins, dirs, depth: int = 0,
                                hot_m, kb, ksb)
         mat_rows = culled_material_rows(scene, hit, aux, tile_p)
         ovf = cull_overflow_count(aux)
-        if engine == "culled_pallas":
+        if engine == "culled_pallas" and fused_shade:
             # fused Mosaic shade (ops/pallas_shade.py): one VMEM pass over
             # the ray tile instead of XLA's HBM-materialized per-light
-            # chain; gradients replay phong_core so the fit is unchanged
+            # chain. FORWARD-ONLY perf path: its custom VJP replays the XLA
+            # phong (an extra forward inside the backward), so training
+            # callers pass fused_shade=False and keep the directly-autodiffed
+            # XLA shade — measured r4 c3 fwd 4.97 ms fused vs 7.45 ms XLA,
+            # but fwd+bwd 9.94 ms fused vs 8.51 ms XLA
             from openglraytracer_tpu.ops.pallas_shade import shade_fused
 
             def shade(hit, occ, mat_rows):
@@ -506,7 +511,8 @@ def render(scene: Scene, camera: Camera, height: int, width: int,
            bounce: str = "tree",
            with_cull_stats: bool = False,
            bounce_mask: tuple | None = None,
-           child_cull: tuple | None = None):
+           child_cull: tuple | None = None,
+           fused_shade: bool = True):
     """Render an (H, W, 3) image. Pure function of (scene, camera) — the
     reference's statelessness (everything recomputed from `time` each frame,
     SURVEY.md §5 checkpoint entry) preserved by construction.
@@ -541,7 +547,7 @@ def render(scene: Scene, camera: Camera, height: int, width: int,
     out = _render_jit(scene, camera, height, width, depth, chunk_size,
                       remat, row_block, mirror_only, engine, cull,
                       shadow_lights, bounce, with_cull_stats, bounce_mask,
-                      child_cull)
+                      child_cull, fused_shade)
     return out
 
 
@@ -549,7 +555,8 @@ def render(scene: Scene, camera: Camera, height: int, width: int,
                                    "remat", "row_block", "mirror_only",
                                    "engine", "cull", "shadow_lights",
                                    "bounce", "with_cull_stats",
-                                   "bounce_mask", "child_cull"))
+                                   "bounce_mask", "child_cull",
+                                   "fused_shade"))
 def _render_jit(scene: Scene, camera: Camera, height: int, width: int,
                 depth: int, chunk_size: int, remat: bool,
                 row_block: int | None, mirror_only: bool, engine: str,
@@ -558,7 +565,8 @@ def _render_jit(scene: Scene, camera: Camera, height: int, width: int,
                 bounce: str = "tree",
                 with_cull_stats: bool = False,
                 bounce_mask: tuple = (True, True),
-                child_cull: tuple | None = None):
+                child_cull: tuple | None = None,
+                fused_shade: bool = True):
     origins, dirs = generate_rays(camera, height, width)
 
     if engine in ("culled", "culled_pallas"):
@@ -592,7 +600,7 @@ def _render_jit(scene: Scene, camera: Camera, height: int, width: int,
                               shadow_lights=shadow_lights,
                               with_cull_stats=with_cull_stats,
                               bounce_mask=bounce_mask,
-                              child_cull=cc)
+                              child_cull=cc, fused_shade=fused_shade)
         if with_cull_stats:
             colors, ovf = out
             return untile_image(colors, height, width, th, tw), ovf

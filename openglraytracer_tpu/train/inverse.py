@@ -92,6 +92,10 @@ def make_train_step(camera: Camera, cfg: FitConfig, mesh=None,
 
     def loss_fn(params, scene, target, shadow_lights, bounce_mask):
         s = apply_params(scene, params)
+        # fused_shade=False: the Mosaic shade kernel is the FORWARD-ONLY
+        # perf path (its VJP replays the XLA phong, an extra forward inside
+        # the backward); training keeps the directly-autodiffed XLA shade —
+        # gradient-identical and measured faster end-to-end (r4)
         if mesh is not None:
             img, ovf = render_sharded(
                 s, camera, cfg.height, cfg.width, mesh=mesh,
@@ -99,7 +103,7 @@ def make_train_step(camera: Camera, cfg: FitConfig, mesh=None,
                 remat=cfg.remat, engine=cfg.engine,
                 cull=cfg.cull, shadow_lights=shadow_lights,
                 with_cull_stats=True, bounce_mask=bounce_mask,
-                child_cull=cfg.child_cull)
+                child_cull=cfg.child_cull, fused_shade=False)
         else:
             img, ovf = render(s, camera, cfg.height, cfg.width,
                               depth=cfg.depth,
@@ -108,7 +112,7 @@ def make_train_step(camera: Camera, cfg: FitConfig, mesh=None,
                               row_block=cfg.row_block,
                               shadow_lights=shadow_lights,
                               with_cull_stats=True, bounce_mask=bounce_mask,
-                              child_cull=cfg.child_cull)
+                              child_cull=cfg.child_cull, fused_shade=False)
         return jnp.mean(jnp.square(img - target)), ovf
 
     def init_fn(scene: Scene):
