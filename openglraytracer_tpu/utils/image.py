@@ -27,6 +27,16 @@ def to_uint8(image) -> np.ndarray:
     return img[::-1]  # GL row 0 = bottom -> PNG row 0 = top
 
 
+def to_uint8_device(image):
+    """Jittable to_uint8: same clamp/quantize/row-flip on device, so a
+    remote host fetches 1 byte per channel instead of 4 (the live viewer's
+    frame loop fuses this into its per-frame jit, r4)."""
+    import jax.numpy as jnp
+    img = jnp.clip(image, 0.0, 1.0)
+    img = (img * 255.0 + 0.5).astype(jnp.uint8)
+    return img[::-1]
+
+
 def _png_chunk(tag: bytes, data: bytes) -> bytes:
     chunk = tag + data
     return struct.pack(">I", len(data)) + chunk + \

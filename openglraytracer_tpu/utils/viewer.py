@@ -49,6 +49,7 @@ class FrameStreamer:
         self.quality = quality
         self.frame_no = 0
         self.fps = 0.0
+        self.error: BaseException | None = None
         self._jpeg: bytes | None = None
         self._cond = threading.Condition()
         self._stop = threading.Event()
@@ -67,36 +68,78 @@ class FrameStreamer:
             s0, c0 = reference_frame(self.start_time)
             self._cull = suggest_cull_config(s0, c0, self.height, self.width,
                                              (t, t), headroom=2.0)
+        self._frame_fn = self._build_frame_fn()
 
-    def _render(self, t: float) -> bytes:
-        import numpy as np
-        from PIL import Image
+    def _build_frame_fn(self):
+        """ONE jitted function of the wall-clock t: scene build + render +
+        uint8 quantize all on device (r4). The previous per-frame host
+        pipeline (build scene arrays, dispatch, fetch f32, quantize) cost a
+        device round-trip per stage — over a remote-tunnel host that was
+        ~200 ms/frame of latency alone. Static shadow/bounce masks are
+        decided once from the concrete t=start scene (light/material
+        STRUCTURE is time-invariant in the animated world); overflow comes
+        back as a device scalar, checked per frame without a recount pass."""
+        import jax
 
         from openglraytracer_tpu.models.animated import reference_frame
         from openglraytracer_tpu.ops.render import render
-        from openglraytracer_tpu.utils.image import to_uint8
+        from openglraytracer_tpu.ops.shading import (static_bounce_mask,
+                                                     static_shadow_mask)
+        from openglraytracer_tpu.utils.image import to_uint8_device
 
-        scene, cam = reference_frame(t)
-        if self._cull is not None:
-            from openglraytracer_tpu.ops.accel import (check_cull_overflow,
-                                                       suggest_cull_config)
-            ovf = check_cull_overflow(scene, cam, self.height, self.width,
-                                      self._cull)
-            if ovf:
-                cull = suggest_cull_config(scene, cam, self.height,
-                                           self.width, self._cull[0],
-                                           headroom=2.0)
-                # multiples of 16 bound recompile thrash (ADVICE r2)
-                self._cull = (cull[0],) + tuple(
-                    -(-k // 16) * 16 if k else k for k in cull[1:])
-        img = render(scene, cam, self.height, self.width, depth=self.depth,
-                     engine=self.engine, cull=self._cull)
+        s0, _ = reference_frame(self.start_time)
+        sm = static_shadow_mask(s0)
+        bm = static_bounce_mask(s0) if self.depth > 0 else (True, True)
+        cull = self._cull
+
+        @jax.jit
+        def frame(t):
+            scene, cam = reference_frame(t)
+            img, ovf = render(scene, cam, self.height, self.width,
+                              depth=self.depth, engine=self.engine,
+                              cull=cull, shadow_lights=sm, bounce_mask=bm,
+                              with_cull_stats=True)
+            return to_uint8_device(img), ovf
+
+        return frame
+
+    def _render(self, t: float) -> bytes:
+        import jax.numpy as jnp
+        import numpy as np
+        from PIL import Image
+
+        u8, ovf = self._frame_fn(jnp.float32(t))
+        if self._cull is not None and int(ovf) > 0:
+            # the moving scene outgrew the static K lists: resize from the
+            # current frame and rebuild (multiples of 16 bound recompile
+            # thrash, ADVICE r2); this frame still shows (conservative
+            # superset semantics — only the overflowed tiles may drop
+            # objects, and the event is logged, never silent)
+            from openglraytracer_tpu.models.animated import reference_frame
+            from openglraytracer_tpu.ops.accel import suggest_cull_config
+            scene, cam = reference_frame(t)
+            cull = suggest_cull_config(scene, cam, self.height, self.width,
+                                       self._cull[0], headroom=2.0)
+            self._cull = (cull[0],) + tuple(
+                -(-k // 16) * 16 if k else k for k in cull[1:])
+            self._frame_fn = self._build_frame_fn()
         buf = io.BytesIO()
-        Image.fromarray(np.asarray(to_uint8(img))).save(
+        Image.fromarray(np.asarray(u8)).save(
             buf, "JPEG", quality=self.quality)
         return buf.getvalue()
 
     def _loop(self):
+        try:
+            self._loop_inner()
+        except BaseException as e:           # surface producer crashes:
+            import traceback                 # a daemon thread dying silently
+            traceback.print_exc()            # looks like a 0-FPS hang
+            self.error = e
+            self._stop.set()
+            with self._cond:
+                self._cond.notify_all()
+
+    def _loop_inner(self):
         self._render_setup()
         t0 = time.monotonic()
         window: list[float] = []

@@ -42,15 +42,62 @@ def capture(engine: str, height=720, width=1280, depth=0, cull_tile=16):
     return stats
 
 
+def decompose(height=720, width=1280):
+    """Per-frame pipeline decomposition: device render (fused jitted frame)
+    vs host fetch vs JPEG encode — separates the renderer's capability from
+    the host link (this dev environment reaches the chip through a remote
+    tunnel whose image-fetch bandwidth, not the renderer, binds the
+    stream)."""
+    import io
+    import numpy as np
+    import jax.numpy as jnp
+    from PIL import Image
+    from openglraytracer_tpu.utils.viewer import FrameStreamer
+
+    s = FrameStreamer(height=height, width=width, engine="xla")
+    s._render_setup()
+    fn = s._frame_fn
+    jax.block_until_ready(fn(jnp.float32(0.0)))
+    ts_dev, ts_fetch = [], []
+    for i in range(8):
+        t0 = time.monotonic()
+        u8, ovf = fn(jnp.float32(0.1 * i + 0.05))
+        jax.block_until_ready(u8)
+        t1 = time.monotonic()
+        host = np.asarray(u8)
+        t2 = time.monotonic()
+        ts_dev.append(t1 - t0)
+        ts_fetch.append(t2 - t1)
+    buf = io.BytesIO()
+    t0 = time.monotonic()
+    for _ in range(5):
+        buf = io.BytesIO()
+        Image.fromarray(host).save(buf, "JPEG", quality=85)
+    jpeg_s = (time.monotonic() - t0) / 5
+    dev_s, fetch_s = min(ts_dev), min(ts_fetch)
+    return {
+        "device_frame_ms": round(dev_s * 1e3, 1),
+        "host_fetch_ms": round(fetch_s * 1e3, 1),
+        "jpeg_encode_ms": round(jpeg_s * 1e3, 1),
+        "fetch_bytes": int(host.nbytes),
+        "implied_local_host_fps": round(1.0 / (dev_s + jpeg_s), 1),
+        "note": "host_fetch rides a remote TPU tunnel in this dev "
+                "environment; a local TPU host pays PCIe instead",
+    }
+
+
 def main():
     rows = {}
-    for engine in ("xla", "culled_pallas"):
-        rows[engine] = capture(engine)
+    for engine, h, w in (("xla", 720, 1280), ("culled_pallas", 720, 1280),
+                         ("xla_360p", 360, 640)):
+        eng = engine.split("_360p")[0]
+        rows[engine] = capture(eng, height=h, width=w)
         print(json.dumps(rows[engine]), flush=True)
     out = {"scene": "reference animated world (raytrace_compute.glsl:261-320)",
-           "resolution": "1280x720", "seconds_per_engine": SECONDS,
+           "seconds_per_engine": SECONDS,
            "device": jax.devices()[0].device_kind,
-           "engines": rows}
+           "engines": rows,
+           "pipeline_720p": decompose()}
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     with open(OUT, "w") as f:
         json.dump(out, f, indent=1)
