@@ -204,7 +204,14 @@ def compact_mask(mask, k: int):
 
 _COARSE_GROUP = 16       # fine tiles per coarse strip
 _COARSE_MIN_N = 512      # dense compaction below this object count
-_COARSE_FACTOR = 6       # Kc = min(N, _COARSE_FACTOR * k)
+# Kc = min(N, max(_COARSE_FACTOR * k, _COARSE_MIN_KC)): the coarse strip
+# holds the UNION of 16 member tiles' survivor sets, so its cap needs slack
+# beyond the per-tile k — especially under hot-tile sizing, where k is a
+# COLD-tile quantile (r4 fit run: 6*k alone overflowed ~50k tile-lists on
+# the moving 4096-sphere scene; the floor keeps the coarse level roomy at
+# negligible cost — the fine top-k input is still ~N/5 of dense)
+_COARSE_FACTOR = 6
+_COARSE_MIN_KC = 768
 
 
 def cone_union(axis_f, cos_f, member_valid=None):
@@ -236,8 +243,17 @@ def cone_union(axis_f, cos_f, member_valid=None):
     return axc, jnp.clip(cosc, -1.0, 1.0)
 
 
+def _dense_compact(apex, axis, cos_half, centers, radii, k,
+                   max_dist=None, tile_valid=None):
+    mask = sphere_vs_cone(apex, axis, cos_half, centers, radii,
+                          max_dist=max_dist)
+    if tile_valid is not None:
+        mask = mask & tile_valid[:, None]
+    return compact_mask(mask, k)
+
+
 def cull_compact(apex, axis, cos_half, centers, radii, k: int,
-                 max_dist=None, tile_valid=None):
+                 max_dist=None, tile_valid=None, kc: int | None = None):
     """sphere_vs_cone + compact_mask, computed two-level when profitable.
 
     apex (3,) shared by every tile (pinhole origin or light position);
@@ -245,16 +261,23 @@ def cull_compact(apex, axis, cos_half, centers, radii, k: int,
     tile_valid (T,) (False tiles keep nothing). Returns (idx (T, K), valid,
     count) — identical to the dense compact_mask(sphere_vs_cone(...), k)
     result, except that a coarse-level overflow forces count > k (reported,
-    never silent)."""
+    never silent).
+
+    kc: coarse strip capacity override. Shadow callers pass a large one —
+    a strip near a light legitimately sees far more occluders than any
+    member tile (its union cone covers a 16-tile hit bbox), and the r4 fit
+    run measured strips overflowing 6*k-sized coarse lists tens of
+    thousands of times. kc >= N degrades gracefully to dense."""
     t_tiles = axis.shape[0]
     n = centers.shape[0]
     g = _COARSE_GROUP
+    if kc is not None and kc >= n:
+        tile_valid = tile_valid  # coarse level would be complete: go dense
+        return _dense_compact(apex, axis, cos_half, centers, radii, k,
+                              max_dist, tile_valid)
     if n < _COARSE_MIN_N or t_tiles % g or t_tiles // g < 2:
-        mask = sphere_vs_cone(apex, axis, cos_half, centers, radii,
-                              max_dist=max_dist)
-        if tile_valid is not None:
-            mask = mask & tile_valid[:, None]
-        return compact_mask(mask, k)
+        return _dense_compact(apex, axis, cos_half, centers, radii, k,
+                              max_dist, tile_valid)
 
     tc = t_tiles // g
     mv = (tile_valid.reshape(tc, g) if tile_valid is not None
@@ -267,7 +290,9 @@ def cull_compact(apex, axis, cos_half, centers, radii, k: int,
                                  -jnp.inf), axis=1)
     cmask = sphere_vs_cone(apex, axc, cosc, centers, radii, max_dist=md_c)
     cmask = cmask & jnp.any(mv, axis=1)[:, None]
-    kc = min(n, _COARSE_FACTOR * k)
+    if kc is None:
+        kc = max(_COARSE_FACTOR * k, _COARSE_MIN_KC)
+    kc = min(n, kc)
     c_idx, c_valid, c_count = compact_mask(cmask, kc)       # (Tc, Kc)
 
     # fine test against the gathered coarse survivors, (Tc, G, Kc) layout
@@ -832,7 +857,7 @@ def culled_geometry(scene: Scene, origins, dirs, tile_p: int, kp: int,
         if n_sph:
             s_idx, s_valid, s_count = cull_compact(
                 lpos, axis_s, cos_s, centers, radii, ks, max_dist=max_d,
-                tile_valid=~empty_s)
+                tile_valid=~empty_s, kc=max(12 * ks, 2048))
             s_counts.append(s_count)
             srows = _gather_tile_rows(
                 jnp.concatenate([centers, radii[:, None]], -1), s_idx)
@@ -868,7 +893,7 @@ def culled_geometry(scene: Scene, origins, dirs, tile_p: int, kp: int,
         if n_box:
             sb_idx, sb_valid, sb_cnt = cull_compact(
                 lpos, axis_s, cos_s, bc_bs, br_bs, ksb, max_dist=max_d,
-                tile_valid=~empty_s)
+                tile_valid=~empty_s, kc=max(12 * ksb, 2048))
             sbrows = _gather_tile_rows(btab, sb_idx)
             occ_t = occ_t | _box_segment_occluded(sbrows, sb_valid, so_t,
                                                   p_t, lpos)
@@ -1296,7 +1321,16 @@ def check_cull_overflow(scene: Scene, camera, height: int, width: int,
     Returns None when the spec still covers every tile, else a dict with the
     observed maxima and re-suggested sizes. Used by the fit loop: a moving
     scene can outgrow the once-computed K — accel.py's contract is that
-    overflow is never silent (ADVICE r1 #3)."""
+    overflow is never silent (ADVICE r1 #3).
+
+    Caveat (r4): this recount measures DENSE per-tile counts; the runtime's
+    two-level compaction can additionally overflow at the COARSE strip level
+    (its union cone is wider than any member tile's), which this host pass
+    does not model — the authoritative signal is the device-side counter
+    threaded out of every step (with_cull_stats / fit's cull_overflow
+    scalar), which counts coarse overflows too (cull_compact forces the
+    count contract). Size fit specs with suggest_cull_config(hot=False) and
+    generous headroom so the coarse cap (>= _COARSE_MIN_KC) has slack."""
     (th, tw), kp, ks, hot_m, kb, ksb = parse_cull_spec(cull)
     p_count, s_count, pb_count, sb_count = cull_counts(
         scene, camera, height, width, (th, tw), shadow_lights)

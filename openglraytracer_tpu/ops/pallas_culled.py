@@ -673,7 +673,7 @@ def culled_geometry_pallas(scene: Scene, origins, dirs, tile_p: int, kp: int,
             s_idx, s_valid, s_count = cull_compact(
                 lpos, axis_s, cos_s, scene.spheres.center,
                 scene.spheres.radius, ks, max_dist=max_d,
-                tile_valid=~empty_s)
+                tile_valid=~empty_s, kc=max(12 * ks, 2048))
             s_counts.append(s_count)
             ssph_rows.append(_shadow_sphere_rows(scene, s_idx, s_valid))
             if hot_m > 0:
@@ -703,7 +703,7 @@ def culled_geometry_pallas(scene: Scene, origins, dirs, tile_p: int, kp: int,
         if n_box:
             sb_idx, sb_valid, sb_cnt = cull_compact(
                 lpos, axis_s, cos_s, bc_bs, br_bs, ksb, max_dist=max_d,
-                tile_valid=~empty_s)
+                tile_valid=~empty_s, kc=max(12 * ksb, 2048))
             sbox_rows.append(_shadow_box_rows(scene, sb_idx, sb_valid))
             sb_counts.append(sb_cnt)
             sb_overflow.append(jnp.sum(sb_cnt > ksb, dtype=jnp.int32))

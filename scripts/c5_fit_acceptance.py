@@ -55,9 +55,9 @@ TRAINABLE = ("spheres.center", "spheres.radius", "materials.diffuse")
 # fine stages refine. Per-group split measured in r3 (scripts/c5_lr_sweep.py):
 # photometric params are fully differentiable; geometry sees straight-through
 # visibility gradients whose silhouette bias diverges at photometric LRs.
-STAGES = [(512, 300, 4.0e-3, 3.0e-2),
+STAGES = [(512, 400, 4.0e-3, 3.0e-2),
           (1024, 150, 1.5e-3, 1.0e-2),
-          (2048, 150, 6.0e-4, 5.0e-3)]
+          (2048, 200, 6.0e-4, 5.0e-3)]   # 200 = multiple of checkpoint_every
 RESUME_EXTRA = 20
 
 
@@ -113,8 +113,11 @@ def main():
         is_final = si == len(STAGES) - 1
         tile = 32 if res >= 1024 else 16
         t0 = time.time()
+        # hot=False: max-based ks so the two-level coarse cap (>= 6*ks) has
+        # slack for a MOVING scene — the r4 first run's hot-quantile ks
+        # overflowed the coarse strips ~50k times and corrupted shadows
         cull = suggest_cull_config(scene_true, cam, res, res, (tile, tile),
-                                   headroom=2.0)
+                                   headroom=2.0, hot=False)
         target = render(scene_true, cam, res, res, engine="culled", cull=cull)
         target.block_until_ready()
         if is_final:
@@ -146,7 +149,7 @@ def main():
     res, steps, geo_lr, photo_lr = STAGES[-1]
     tile = 32
     cull = suggest_cull_config(scene_true, cam, res, res, (tile, tile),
-                               headroom=2.0)
+                               headroom=2.0, hot=False)
     target = render(scene_true, cam, res, res, engine="culled", cull=cull)
     save_png(render(scene_fit, cam, res, res, engine="culled", cull=cull),
              os.path.join(OUT, "fitted.png"))
