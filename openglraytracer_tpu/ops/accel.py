@@ -855,9 +855,15 @@ def culled_geometry(scene: Scene, origins, dirs, tile_p: int, kp: int,
             shadow_org, hit_mask, tile_p, lpos)
 
         if n_sph:
-            s_idx, s_valid, s_count = cull_compact(
+            # shadows compact DENSELY: a strip near a light can
+            # legitimately see almost every object (its union cone spans a
+            # 16-tile hit bbox), so no coarse cap short of N is lossless —
+            # the r4 fit measured strips exceeding even 12*K caps. Dense
+            # per-tile counts are exact; primaries keep the two-level win
+            # (camera cones are tight: c5 max 46 survivors vs the 768 cap).
+            s_idx, s_valid, s_count = _dense_compact(
                 lpos, axis_s, cos_s, centers, radii, ks, max_dist=max_d,
-                tile_valid=~empty_s, kc=max(12 * ks, 2048))
+                tile_valid=~empty_s)
             s_counts.append(s_count)
             srows = _gather_tile_rows(
                 jnp.concatenate([centers, radii[:, None]], -1), s_idx)
@@ -891,9 +897,9 @@ def culled_geometry(scene: Scene, origins, dirs, tile_p: int, kp: int,
             s_overflow.append(zero_o)
 
         if n_box:
-            sb_idx, sb_valid, sb_cnt = cull_compact(
+            sb_idx, sb_valid, sb_cnt = _dense_compact(
                 lpos, axis_s, cos_s, bc_bs, br_bs, ksb, max_dist=max_d,
-                tile_valid=~empty_s, kc=max(12 * ksb, 2048))
+                tile_valid=~empty_s)
             sbrows = _gather_tile_rows(btab, sb_idx)
             occ_t = occ_t | _box_segment_occluded(sbrows, sb_valid, so_t,
                                                   p_t, lpos)

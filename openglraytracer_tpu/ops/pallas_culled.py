@@ -64,6 +64,7 @@ from openglraytracer_tpu.ops.accel import (
     _gather_tile_rows,
     _segment_occluded,
     _sphere_table,
+    _dense_compact,
     box_bounding_spheres,
     cull_compact,
     shadow_tile_cones,
@@ -670,10 +671,12 @@ def culled_geometry_pallas(scene: Scene, origins, dirs, tile_p: int, kp: int,
         axis_s, cos_s, max_d, empty_s = shadow_tile_cones(
             shadow_org, hit_mask, tile_p, lpos)
         if n_sph:
-            s_idx, s_valid, s_count = cull_compact(
+            # dense shadow compaction (see accel.culled_geometry's
+            # note: light-facing strips defeat any lossless coarse cap)
+            s_idx, s_valid, s_count = _dense_compact(
                 lpos, axis_s, cos_s, scene.spheres.center,
                 scene.spheres.radius, ks, max_dist=max_d,
-                tile_valid=~empty_s, kc=max(12 * ks, 2048))
+                tile_valid=~empty_s)
             s_counts.append(s_count)
             ssph_rows.append(_shadow_sphere_rows(scene, s_idx, s_valid))
             if hot_m > 0:
@@ -701,9 +704,9 @@ def culled_geometry_pallas(scene: Scene, origins, dirs, tile_p: int, kp: int,
             ssph_rows.append(jnp.zeros((t_tiles, max(ks_eff, 1), 8), dtype))
             hot_infos.append(None)
         if n_box:
-            sb_idx, sb_valid, sb_cnt = cull_compact(
+            sb_idx, sb_valid, sb_cnt = _dense_compact(
                 lpos, axis_s, cos_s, bc_bs, br_bs, ksb, max_dist=max_d,
-                tile_valid=~empty_s, kc=max(12 * ksb, 2048))
+                tile_valid=~empty_s)
             sbox_rows.append(_shadow_box_rows(scene, sb_idx, sb_valid))
             sb_counts.append(sb_cnt)
             sb_overflow.append(jnp.sum(sb_cnt > ksb, dtype=jnp.int32))
