@@ -649,11 +649,16 @@ def culled_geometry(scene: Scene, origins, dirs, tile_p: int, kp: int,
             origins_t, dirs_t, act_t)
 
     if n_sph:
-        # ---- primary broad phase (two-level coarse->fine when profitable;
-        # secondary bundles have per-tile apexes, so they stay single-level)
+        # ---- primary broad phase. NOTE (r4): the two-level coarse-strip
+        # compaction (cull_compact) was withdrawn from the engines after the
+        # fit's overflow counter showed horizon strips exceeding ANY coarse
+        # cap (perspective compresses hundreds of distant objects into one
+        # strip's cone) — lossy culling is never acceptable as a default.
+        # Dense per-tile compaction is exact; the r4 perf wins that stand
+        # are the dynamic trip counts and the fused shade kernel.
         if shared:
-            p_idx, p_valid, p_count = cull_compact(apex, axis, cos_half,
-                                                   centers, radii, kp)
+            p_idx, p_valid, p_count = _dense_compact(apex, axis, cos_half,
+                                                     centers, radii, kp)
         else:
             pmask = sphere_vs_cone(apex, axis, cos_half, centers, radii,
                                    expand=expand)
@@ -750,8 +755,8 @@ def culled_geometry(scene: Scene, origins, dirs, tile_p: int, kp: int,
         btab = _box_table(scene)
         bc_bs, br_bs = box_bounding_spheres(scene)
         if shared:
-            b_idx, b_valid, b_count = cull_compact(apex, axis, cos_half,
-                                                   bc_bs, br_bs, kb)
+            b_idx, b_valid, b_count = _dense_compact(apex, axis, cos_half,
+                                                     bc_bs, br_bs, kb)
         else:
             bmask = sphere_vs_cone(apex, axis, cos_half, bc_bs, br_bs,
                                    expand=expand)

@@ -66,7 +66,6 @@ from openglraytracer_tpu.ops.accel import (
     _sphere_table,
     _dense_compact,
     box_bounding_spheres,
-    cull_compact,
     shadow_tile_cones,
     tile_cones,
 )
@@ -558,7 +557,9 @@ def culled_geometry_pallas(scene: Scene, origins, dirs, tile_p: int, kp: int,
     # ---- broad phase (identical to accel.culled_geometry: two-level
     # coarse->fine compaction when profitable)
     if n_sph:
-        p_idx, p_valid, p_count = cull_compact(
+        # dense compaction (exact); see accel.culled_geometry's note on
+        # the withdrawn two-level coarse level
+        p_idx, p_valid, p_count = _dense_compact(
             o0, axis, cos_half, scene.spheres.center, scene.spheres.radius,
             kp)
         sph_rows = _primary_sphere_rows(scene, o0, p_idx, p_valid)
@@ -571,8 +572,8 @@ def culled_geometry_pallas(scene: Scene, origins, dirs, tile_p: int, kp: int,
 
     if n_box:
         bc_bs, br_bs = box_bounding_spheres(scene)
-        b_idx, b_valid, b_count = cull_compact(o0, axis, cos_half,
-                                               bc_bs, br_bs, kb)
+        b_idx, b_valid, b_count = _dense_compact(o0, axis, cos_half,
+                                                 bc_bs, br_bs, kb)
         box_rows = _primary_box_rows(scene, o0, b_idx, b_valid)
     else:
         b_idx = jnp.zeros((t_tiles, 0), jnp.int32)

@@ -123,9 +123,9 @@ def test_dense_fallback_small_n():
 
 
 def test_engine_equality_with_two_level_path():
-    """End-to-end: a 576-sphere scene at 128^2 with (16,16) tiles engages
-    the two-level compaction inside the culled engine (N >= _COARSE_MIN_N,
-    T/G >= 2); the image must equal the exact XLA engine's."""
+    """End-to-end: a 576-sphere scene at 128^2 with (16,16) tiles — the
+    shape class that used to engage the (since-withdrawn) two-level engine
+    path; kept as the large-N culled-vs-exact equality check."""
     from openglraytracer_tpu.models.builders import sphere_grid_scene
     from openglraytracer_tpu.ops.accel import suggest_cull_config
     from openglraytracer_tpu.ops.render import render
