@@ -272,7 +272,7 @@ def cull_compact(apex, axis, cos_half, centers, radii, k: int,
     n = centers.shape[0]
     g = _COARSE_GROUP
     if kc is not None and kc >= n:
-        tile_valid = tile_valid  # coarse level would be complete: go dense
+        # coarse level would be complete: go dense
         return _dense_compact(apex, axis, cos_half, centers, radii, k,
                               max_dist, tile_valid)
     if n < _COARSE_MIN_N or t_tiles % g or t_tiles // g < 2:
@@ -1334,14 +1334,14 @@ def check_cull_overflow(scene: Scene, camera, height: int, width: int,
     scene can outgrow the once-computed K — accel.py's contract is that
     overflow is never silent (ADVICE r1 #3).
 
-    Caveat (r4): this recount measures DENSE per-tile counts; the runtime's
-    two-level compaction can additionally overflow at the COARSE strip level
-    (its union cone is wider than any member tile's), which this host pass
-    does not model — the authoritative signal is the device-side counter
-    threaded out of every step (with_cull_stats / fit's cull_overflow
-    scalar), which counts coarse overflows too (cull_compact forces the
-    count contract). Size fit specs with suggest_cull_config(hot=False) and
-    generous headroom so the coarse cap (>= _COARSE_MIN_KC) has slack."""
+    Caveat (r4): this host-side recount is advisory; the authoritative
+    signal is the device-side counter threaded out of every step
+    (with_cull_stats / fit's cull_overflow scalar). The engines run dense
+    per-tile compaction only (the two-level coarse level was withdrawn —
+    see culled_geometry's rationale), so the dense counts measured here
+    model exactly what the runtime compacts; fit specs still use
+    suggest_cull_config(hot=False) with headroom because a moving scene can
+    outgrow a once-computed K between recounts."""
     (th, tw), kp, ks, hot_m, kb, ksb = parse_cull_spec(cull)
     p_count, s_count, pb_count, sb_count = cull_counts(
         scene, camera, height, width, (th, tw), shadow_lights)

@@ -554,11 +554,10 @@ def culled_geometry_pallas(scene: Scene, origins, dirs, tile_p: int, kp: int,
     dirs_t = dirs.reshape(t_tiles, tile_p, 3)
     axis, cos_half = tile_cones(dirs_t)
 
-    # ---- broad phase (identical to accel.culled_geometry: two-level
-    # coarse->fine compaction when profitable)
+    # ---- broad phase (identical to accel.culled_geometry: dense per-tile
+    # compaction — exact; see accel.culled_geometry's note on the withdrawn
+    # two-level coarse level)
     if n_sph:
-        # dense compaction (exact); see accel.culled_geometry's note on
-        # the withdrawn two-level coarse level
         p_idx, p_valid, p_count = _dense_compact(
             o0, axis, cos_half, scene.spheres.center, scene.spheres.radius,
             kp)

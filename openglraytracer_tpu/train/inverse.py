@@ -74,6 +74,11 @@ class FitConfig:
     # REQUIRED for any acceptance run that scans the log for
     # cull_overflow_events: without it overflow records go to stderr only
     # and a file-scanning 'zero overflow' check is vacuous (ADVICE r3)
+    soft: tuple | None = None       # (bw, gamma): use the soft-coverage
+    # forward (ops/soft.py) instead of the hard engines — silhouette-aware
+    # gradients for geometry fitting (VERDICT r4 next #2). With soft set,
+    # `cull` is the soft spec ((th, tw), k) from soft.suggest_soft_cull (or
+    # None for dense) and `engine`/`depth`/`mesh` are ignored/unsupported.
 
 
 def make_train_step(camera: Camera, cfg: FitConfig, mesh=None,
@@ -89,9 +94,19 @@ def make_train_step(camera: Camera, cfg: FitConfig, mesh=None,
     step_fn is jitted with params/opt_state donated.
     """
     opt = optimizer if optimizer is not None else optax.adam(cfg.learning_rate)
+    if cfg.soft is not None and mesh is not None:
+        raise ValueError("soft fit stages run unsharded (they are the "
+                         "coarse curriculum stages); pass mesh=None")
 
     def loss_fn(params, scene, target, shadow_lights, bounce_mask):
         s = apply_params(scene, params)
+        if cfg.soft is not None:
+            from openglraytracer_tpu.ops.soft import soft_render
+            bw, gamma = cfg.soft
+            img, ovf = soft_render(s, camera, cfg.height, cfg.width,
+                                   bw=bw, gamma=gamma, cull=cfg.cull,
+                                   with_cull_stats=True)
+            return jnp.mean(jnp.square(img - target)), ovf
         # fused_shade=False: the Mosaic shade kernel is the FORWARD-ONLY
         # perf path (its VJP replays the XLA phong, an extra forward inside
         # the backward); training keeps the directly-autodiffed XLA shade —
@@ -209,7 +224,7 @@ def fit(scene_init: Scene, target, camera: Camera, cfg: FitConfig,
                 detail = check_cull_overflow(
                     apply_params(scene_init, params), camera,
                     cfg.height, cfg.width, cfg.cull) \
-                    if cfg.cull is not None else None
+                    if (cfg.cull is not None and cfg.soft is None) else None
                 logger.log(step=step, cull_overflow_events=int(ovf_running),
                            cull_overflow=detail)
                 import logging

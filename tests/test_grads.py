@@ -56,6 +56,7 @@ def _run_param_checks(scene, cam, depth, params):
         _fd_check(loss, scene, get, put)
 
 
+@pytest.mark.smoke
 def test_grads_sphere_params(f64_scene):
     with jax.enable_x64(True):
         scene, cam = f64_scene

@@ -102,6 +102,7 @@ def test_culled_pallas_matches_culled_spheres():
     _assert_matches_culled(scene, o, d, kp, ks)
 
 
+@pytest.mark.smoke
 def test_culled_pallas_matches_exact():
     """Transitivity check straight against the dense XLA scan."""
     scene, cam = sphere_grid_scene(8)

@@ -7,6 +7,7 @@ error, which catches any real math bug while tolerating silhouette noise.
 """
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from openglraytracer_tpu.models.animated import reference_frame
@@ -28,6 +29,7 @@ def _compare(got, want, tol=2e-3, frac=0.995, mean_tol=1e-4):
     assert err.mean() < mean_tol, f"mean err {err.mean()}"
 
 
+@pytest.mark.smoke
 def test_config1_single_sphere_plane():
     scene, cam = single_sphere_scene()
     got = render(scene, cam, 64, 64)

@@ -3,6 +3,7 @@ sharded render == single-device render, sharded grads == unsharded grads
 (SURVEY.md §4)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -17,6 +18,7 @@ def test_eight_virtual_devices():
     assert len(jax.devices()) == 8
 
 
+@pytest.mark.smoke
 def test_sharded_render_matches_single_device():
     scene, cam = eight_sphere_scene()
     mesh = make_mesh()                      # (4, 2) over 8 cpu devices
