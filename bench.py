@@ -370,6 +370,66 @@ def bench_stack_depth(height: int = 1024, width: int = 1024,
     return row
 
 
+def glass_grid_scene(side: int = 64):
+    """4096 GLASS spheres (reflectivity + transparency > 0 => full binary
+    bounce tree): the c5 grid with every sphere material made refractive —
+    the scene class the culled stack engine exists for."""
+    import jax.numpy as jnp
+    from openglraytracer_tpu.models.builders import sphere_grid_scene
+    scene, cam = sphere_grid_scene(side, reflectivity=0.25, seed=1)
+    m = scene.materials
+    scene = scene._replace(materials=m._replace(
+        transparency=jnp.full_like(m.transparency, 0.35)
+        .at[-1].set(0.0),                     # the ground plane stays opaque
+        refraction_index=jnp.full_like(m.refraction_index, 1.45)))
+    return scene, cam
+
+
+def bench_stack_glass4096(height: int = 1024, width: int = 1024,
+                          depth: int = 4, k: int = 3, tile: int = 32) -> dict:
+    """Depth-4 glass at 4096 objects through the CULLED stack engine
+    (r5, VERDICT r4 next #5): every DFS step is a bounce-cone survivor pass
+    (engine='culled', O(depth)-memory scan), the composition that had no
+    viable engine in r4 (the stack engines were dense-only: 31 casts/pixel
+    x 4096 objects dense is ~131G intersection tests per frame)."""
+    from openglraytracer_tpu.ops.accel import suggest_stack_cull_config
+    from openglraytracer_tpu.ops.render import render
+    from openglraytracer_tpu.ops.shading import static_shadow_mask
+    from openglraytracer_tpu.utils.metrics import rays_per_frame
+
+    scene, cam = glass_grid_scene()
+    sm = static_shadow_mask(scene)
+    spec = suggest_stack_cull_config(scene, cam, height, width, (tile, tile),
+                                     headroom=2.0, shadow_lights=sm)
+
+    def fwd(s):
+        img, ovf = render(s, cam, height, width, depth=depth,
+                          engine="culled_pallas", bounce="stack", cull=spec,
+                          shadow_lights=sm, with_cull_stats=True)
+        return img, ovf
+
+    fn = jax.jit(fwd)
+    t_fwd, c_fwd, w_fwd = _pipelined(fn, (scene,), k=k, windows=2)
+    img, ovf = fn(scene)
+
+    rays = rays_per_frame(height, width, scene.lights.count, depth,
+                          shadow_lights=sm)
+    return {
+        "engine": "culled_pallas+stack",
+        "resolution": f"{width}x{height}",
+        "depth": depth,
+        "n_objects": 4096,
+        "rays_per_frame": rays,
+        "fwd_mrays_per_s": round(rays / t_fwd / 1e6, 2),
+        "fwd_bwd_mrays_per_s": 0.0,   # forward row (training uses depth<=1)
+        "fwd_ms": round(t_fwd * 1e3, 3),
+        "fwd_compile_s": round(c_fwd, 2),
+        "fwd_windows": _dispersion(w_fwd),
+        "cull_overflow_events": int(ovf),
+        "cull_spec": [list(spec[0])] + [int(x) for x in spec[1:]],
+    }
+
+
 # The full measured table, one row per entry:
 #   row_name: (config_name, engine, k, tile_side, use_child_cull)
 # Engines: culled/culled_pallas where the broad phase pays (64+ objects),
@@ -391,9 +451,11 @@ PLAN = {
     "c4_mirror": ("c4_mirror", "culled_pallas", 5, 64, False),
     "c5_grid4096": ("c5_grid4096", "culled_pallas", 5, 32, False),
     # The c4 x c5 composition: 4096 MIRROR spheres at depth 1 — bounce
-    # children through the secondary-ray culled path (VERDICT r2 next #4),
-    # with the dense-child fallback as the ablation row it replaces.
-    "c4_mirror4096": ("c4_mirror4096", "culled", 5, 32, True),
+    # children through the secondary-ray culled path. r5: the children now
+    # run the per-ray-origin MOSAIC kernels (VERDICT r4 next #4); the XLA
+    # child path and the dense-child fallback remain as ablations.
+    "c4_mirror4096": ("c4_mirror4096", "culled_pallas", 5, 32, True),
+    "c4_mirror4096_xlachild": ("c4_mirror4096", "culled", 5, 32, True),
     "c4_mirror4096_densechild": ("c4_mirror4096", "culled", 2, 32, False),
     # Ablation rows on the north-star config: the XLA culled narrow phase
     # and the dense (no-cull) Pallas kernel (VERDICT r1 #5), plus the
@@ -468,6 +530,12 @@ def main():
     # Deep recursion on hardware: the glass world's full bounce tree at
     # depth 4 through the O(depth)-memory stack engine (VERDICT r2 next #6).
     run_row("glass_stack_depth4", bench_stack_depth)
+
+    # Deep recursion x culling AT SCALE (r5, VERDICT r4 next #5): 4096
+    # GLASS spheres, depth 4 (31 casts/pixel), every DFS step through the
+    # bounce-cone culled path — the composition that had "no viable engine"
+    # in r4 (stack engines were dense-only).
+    run_row("glass4096_stack_culled", bench_stack_glass4096)
 
     head = results.get("c3_grid64")
     if head is None:

@@ -65,8 +65,11 @@ from openglraytracer_tpu.ops.accel import (
     _segment_occluded,
     _sphere_table,
     _dense_compact,
+    bounce_cones,
     box_bounding_spheres,
+    compact_mask,
     shadow_tile_cones,
+    sphere_vs_cone,
     tile_cones,
 )
 from openglraytracer_tpu.ops.intersect import INF_T, Hit, _DIV_EPS, _SQRT_EPS
@@ -145,17 +148,29 @@ def _pad_rows(rows, axis: int, u: int = _DYN_UNROLL):
 # plane row (16):  [nx ny nz off unx uny unz off-n.o0 mat gid ...]
 
 def _primary_kernel(n_kp: int, n_kb: int, n_pln: int, dynamic: bool,
-                    *refs):
+                    per_ray: bool, *refs):
     if dynamic:
         # cnt_ref (2T,) full-array SMEM, FLAT 1-D (SMEM pads the minor dim
         # to 128 lanes — a (T, 2) layout would cost 64x the bytes and
         # overflow the 1 MB SMEM at c5's T=4096): per tile
         # [min(p_count, kp), min(b_count, kb)] — the dynamic trip counts
         cnt_ref, *refs = refs
-    (sph_ref, box_ref, pln_ref,
-     dx_ref, dy_ref, dz_ref,
-     t_ref, nx_ref, ny_ref, nz_ref,
-     ins_ref, mat_ref, gid_ref, slot_ref) = refs
+    if per_ray:
+        # SECONDARY-RAY mode (VERDICT r4 next #4): bounce children have no
+        # shared pinhole, so the per-survivor scalars (oc/qc for spheres,
+        # the local-space origin for boxes, off - n.o for planes) become
+        # per-ray vector math from these origin blocks; survivor rows carry
+        # raw geometry instead of precomputed origin-relative terms.
+        (sph_ref, box_ref, pln_ref,
+         dx_ref, dy_ref, dz_ref, ox_ref, oy_ref, oz_ref,
+         t_ref, nx_ref, ny_ref, nz_ref,
+         ins_ref, mat_ref, gid_ref, slot_ref) = refs
+        ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
+    else:
+        (sph_ref, box_ref, pln_ref,
+         dx_ref, dy_ref, dz_ref,
+         t_ref, nx_ref, ny_ref, nz_ref,
+         ins_ref, mat_ref, gid_ref, slot_ref) = refs
     ti = pl.program_id(0)
     dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
     f32 = dx.dtype
@@ -169,10 +184,18 @@ def _primary_kernel(n_kp: int, n_kb: int, n_pln: int, dynamic: bool,
 
     def sphere_best(j, carry):
         tb, nx, ny, nz, ins, flp, mat, gid, slot = carry
-        ocx = sph_ref[0, j, 0]
-        ocy = sph_ref[0, j, 1]
-        ocz = sph_ref[0, j, 2]
-        qc = sph_ref[0, j, 3]
+        if per_ray:
+            # row: [cx cy cz r2 mat gid valid pad]
+            ocx = ox - sph_ref[0, j, 0]
+            ocy = oy - sph_ref[0, j, 1]
+            ocz = oz - sph_ref[0, j, 2]
+            qc = ocx * ocx + ocy * ocy + ocz * ocz - sph_ref[0, j, 3]
+        else:
+            # row: [ocx ocy ocz qc mat gid valid pad] (pinhole-precomputed)
+            ocx = sph_ref[0, j, 0]
+            ocy = sph_ref[0, j, 1]
+            ocz = sph_ref[0, j, 2]
+            qc = sph_ref[0, j, 3]
         qb = 2.0 * (dx * ocx + dy * ocy + dz * ocz)
         qd = qb * qb - 4.0 * qa * qc
         ok = (qd >= 0.0) & qa_ok & (sph_ref[0, j, 6] > 0.5)
@@ -213,12 +236,23 @@ def _primary_kernel(n_kp: int, n_kb: int, n_pln: int, dynamic: bool,
         bx0 = box_ref[0, j, 3]
         bx1 = box_ref[0, j, 4]
         bx2 = box_ref[0, j, 5]
-        rox = box_ref[0, j, 6]
-        roy = box_ref[0, j, 7]
-        roz = box_ref[0, j, 8]
         r00, r01, r02 = box_ref[0, j, 9], box_ref[0, j, 10], box_ref[0, j, 11]
         r10, r11, r12 = box_ref[0, j, 12], box_ref[0, j, 13], box_ref[0, j, 14]
         r20, r21, r22 = box_ref[0, j, 15], box_ref[0, j, 16], box_ref[0, j, 17]
+        if per_ray:
+            # slots 6:9 hold the box POSITION; world->local origin per ray:
+            # ro = R^T (o - pos)
+            wx = ox - box_ref[0, j, 6]
+            wy = oy - box_ref[0, j, 7]
+            wz = oz - box_ref[0, j, 8]
+            rox = r00 * wx + r10 * wy + r20 * wz
+            roy = r01 * wx + r11 * wy + r21 * wz
+            roz = r02 * wx + r12 * wy + r22 * wz
+        else:
+            # slots 6:9 hold ro = R^T (o0 - pos), precomputed per survivor
+            rox = box_ref[0, j, 6]
+            roy = box_ref[0, j, 7]
+            roz = box_ref[0, j, 8]
         # world -> local direction: R^T d
         rdx = r00 * dx + r10 * dy + r20 * dz
         rdy = r01 * dx + r11 * dy + r21 * dz
@@ -273,7 +307,9 @@ def _primary_kernel(n_kp: int, n_kb: int, n_pln: int, dynamic: bool,
         pnx = pln_ref[p, 0]
         pny = pln_ref[p, 1]
         pnz = pln_ref[p, 2]
-        off_no = pln_ref[p, 7]
+        off_no = pln_ref[p, 7]      # off - n.o0 (per-ray mode: just off)
+        if per_ray:
+            off_no = off_no - (pnx * ox + pny * oy + pnz * oz)
         nd = pnx * dx + pny * dy + pnz * dz
         t = off_no * _inv_safe(nd)
         ok = (jnp.abs(nd) > 1.0e-9) & (t > 0.0)
@@ -464,6 +500,26 @@ def _primary_box_rows(scene: Scene, o0, b_idx, b_valid):
     return _pad_cols(out, 24)
 
 
+def _secondary_sphere_rows(scene: Scene, p_idx, p_valid):
+    """(T, Kp, 8) [cx cy cz r^2 mat gid valid pad] — raw geometry for the
+    per-ray-origin kernel (no shared pinhole to precompute oc/qc against)."""
+    rows = _gather_tile_rows(_sphere_table(scene), p_idx)   # (T, Kp, 6)
+    r2 = rows[..., 3] * rows[..., 3]
+    return jnp.concatenate([
+        rows[..., 0:3], r2[..., None], rows[..., 4:6],
+        p_valid.astype(rows.dtype)[..., None],
+        jnp.zeros_like(r2)[..., None]], axis=-1)
+
+
+def _secondary_box_rows(scene: Scene, b_idx, b_valid):
+    """(T, Kb, 24) [mins maxs pos rot9 mat gid valid ...] — box POSITION in
+    slots 6:9 (the per-ray kernel computes R^T (o - pos) itself)."""
+    rows = _gather_tile_rows(_box_table(scene), b_idx)      # (T, Kb, 20)
+    out = jnp.concatenate([rows,
+                           b_valid.astype(rows.dtype)[..., None]], axis=-1)
+    return _pad_cols(out, 24)
+
+
 def _plane_table(scene: Scene, o0, n_sph: int, n_box: int):
     """(P, 16) [n(3) off un(3) off-n.o0 mat gid ...]; raw normal for the
     candidate t (bit-matching accel's plane_candidates), unit for the
@@ -517,12 +573,21 @@ def _ray_blocks(x, t_tiles: int, br: int):
 
 def culled_geometry_pallas(scene: Scene, origins, dirs, tile_p: int, kp: int,
                            ks: int, shadow_lights: tuple | None = None,
-                           hot_m: int = 0, kb: int = 0, ksb: int = 0):
+                           hot_m: int = 0, kb: int = 0, ksb: int = 0,
+                           active=None):
     """accel.culled_geometry with the narrow phases as Mosaic kernels.
 
     Same arguments, same return contract: (Hit (R,), occluded (R, L),
     CullAux). Requires tile_p % 128 == 0 (the ray tile maps onto
     (tile_p/128, 128) vregs).
+
+    active (R,) bool switches on SECONDARY-RAY mode exactly as in
+    accel.culled_geometry (VERDICT r4 next #4 — previously only the XLA
+    culled path had it, so bounce children never reached the Mosaic narrow
+    phase): per-ray origins, bounce-cone broad phase (origin-bbox apex +
+    Minkowski-expanded spheres), inactive rays forced to miss. The kernels
+    run in per_ray mode — survivor rows carry raw geometry and the
+    origin-relative terms are computed per ray in VMEM.
     """
     assert tile_p % LANE == 0, \
         f"culled_pallas needs tile_p % {LANE} == 0 (got {tile_p})"
@@ -535,6 +600,7 @@ def culled_geometry_pallas(scene: Scene, origins, dirs, tile_p: int, kp: int,
     n_pln = scene.planes.count
     n_lights = scene.lights.count
     o0 = origins[0]
+    shared = active is None
     kb = min(kb, n_box) if kb > 0 else n_box
     ksb = min(ksb, n_box) if ksb > 0 else n_box
     interpret = _use_interpret()
@@ -552,16 +618,34 @@ def culled_geometry_pallas(scene: Scene, origins, dirs, tile_p: int, kp: int,
     dynamic = scan_total > _DYNAMIC_THRESHOLD
 
     dirs_t = dirs.reshape(t_tiles, tile_p, 3)
-    axis, cos_half = tile_cones(dirs_t)
+    if shared:
+        axis, cos_half = tile_cones(dirs_t)
+        apex, expand, empty_t = o0, None, None
+    else:
+        # secondary bundles: bbox apex + Minkowski expansion + direction
+        # cone over ACTIVE rays (accel.culled_geometry's exact recipe —
+        # zero-dir TIR rays excluded so they can't blow the cone open)
+        origins_t = origins.reshape(t_tiles, tile_p, 3)
+        act = active & (jnp.sum(dirs * dirs, -1) > _DIV_EPS)
+        act_t = act.reshape(t_tiles, tile_p)
+        apex, axis, cos_half, expand, empty_t = bounce_cones(
+            origins_t, dirs_t, act_t)
 
     # ---- broad phase (identical to accel.culled_geometry: dense per-tile
     # compaction — exact; see accel.culled_geometry's note on the withdrawn
     # two-level coarse level)
     if n_sph:
-        p_idx, p_valid, p_count = _dense_compact(
-            o0, axis, cos_half, scene.spheres.center, scene.spheres.radius,
-            kp)
-        sph_rows = _primary_sphere_rows(scene, o0, p_idx, p_valid)
+        if shared:
+            p_idx, p_valid, p_count = _dense_compact(
+                apex, axis, cos_half, scene.spheres.center,
+                scene.spheres.radius, kp)
+            sph_rows = _primary_sphere_rows(scene, o0, p_idx, p_valid)
+        else:
+            pmask = sphere_vs_cone(apex, axis, cos_half, scene.spheres.center,
+                                   scene.spheres.radius, expand=expand)
+            pmask = pmask & (~empty_t)[:, None]
+            p_idx, p_valid, p_count = compact_mask(pmask, kp)
+            sph_rows = _secondary_sphere_rows(scene, p_idx, p_valid)
     else:
         p_idx = jnp.zeros((t_tiles, 0), jnp.int32)
         p_valid = jnp.zeros((t_tiles, 0), bool)
@@ -571,9 +655,16 @@ def culled_geometry_pallas(scene: Scene, origins, dirs, tile_p: int, kp: int,
 
     if n_box:
         bc_bs, br_bs = box_bounding_spheres(scene)
-        b_idx, b_valid, b_count = _dense_compact(o0, axis, cos_half,
-                                                 bc_bs, br_bs, kb)
-        box_rows = _primary_box_rows(scene, o0, b_idx, b_valid)
+        if shared:
+            b_idx, b_valid, b_count = _dense_compact(apex, axis, cos_half,
+                                                     bc_bs, br_bs, kb)
+            box_rows = _primary_box_rows(scene, o0, b_idx, b_valid)
+        else:
+            bmask = sphere_vs_cone(apex, axis, cos_half, bc_bs, br_bs,
+                                   expand=expand)
+            bmask = bmask & (~empty_t)[:, None]
+            b_idx, b_valid, b_count = compact_mask(bmask, kb)
+            box_rows = _secondary_box_rows(scene, b_idx, b_valid)
     else:
         b_idx = jnp.zeros((t_tiles, 0), jnp.int32)
         b_valid = jnp.zeros((t_tiles, 0), bool)
@@ -581,9 +672,12 @@ def culled_geometry_pallas(scene: Scene, origins, dirs, tile_p: int, kp: int,
         box_rows = jnp.zeros((t_tiles, 1, 24), dtype)
     kb_eff = b_idx.shape[-1]
 
-    pln_tab = _plane_table(scene, o0, n_sph, n_box)
+    pln_tab = _plane_table(scene, o0 if shared else jnp.zeros_like(o0),
+                           n_sph, n_box)
 
     dx, dy, dz = _ray_blocks(dirs, t_tiles, br)
+    if not shared:
+        ox_b, oy_b, oz_b = _ray_blocks(origins, t_tiles, br)
 
     # ---- kernel A: primary narrow phase
     if dynamic:
@@ -606,20 +700,28 @@ def culled_geometry_pallas(scene: Scene, origins, dirs, tile_p: int, kp: int,
 
     rblk = functools.partial(jax.ShapeDtypeStruct, (t_tiles, br, LANE))
     outs = pl.pallas_call(
-        functools.partial(_primary_kernel, kp_eff, kb_eff, n_pln, dynamic),
+        functools.partial(_primary_kernel, kp_eff, kb_eff, n_pln, dynamic,
+                          not shared),
         grid=(t_tiles,),
         in_specs=([cnt_a_spec] if dynamic else [])
-        + [sph_spec, box_spec, full] + [ray_spec] * 3,
+        + [sph_spec, box_spec, full]
+        + [ray_spec] * (3 if shared else 6),
         out_specs=[ray_spec] * 8,
         out_shape=[rblk(dtype)] * 8,
         interpret=interpret,
     )(*(((cnt_a,) if dynamic else ())
-        + (sph_rows, box_rows, pln_tab, dx, dy, dz)))
+        + (sph_rows, box_rows, pln_tab, dx, dy, dz)
+        + (() if shared else (ox_b, oy_b, oz_b))))
     t_b, nx_b, ny_b, nz_b, ins_b, mat_b, gid_b, slot_b = outs
 
     t_flat = t_b.reshape(-1)
     n = jnp.stack([nx_b.reshape(-1), ny_b.reshape(-1), nz_b.reshape(-1)],
                   axis=-1)
+    if not shared:
+        # inactive secondary rays are defined misses (their colors carry
+        # zero bounce weight; forcing the miss keeps their garbage out of
+        # the shadow-cone bboxes below) — accel.culled_geometry semantics
+        t_flat = jnp.where(active, t_flat, INF_T)
     hit_mask = t_flat < MISS_T
     in_flat = (ins_b.reshape(-1) > 0.5) & hit_mask
     mat_flat = jnp.where(hit_mask, mat_b.reshape(-1).astype(jnp.int32), 0)
@@ -813,3 +915,35 @@ def _cp_bwd(tile_p, kp, ks, shadow_lights, hot_m, kb, ksb, res, g):
 
 
 culled_pallas_geometry_op.defvjp(_cp_fwd, _cp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
+def bounce_culled_pallas_geometry_op(scene: Scene, origins, dirs, active,
+                                     tile_p: int, kp: int, ks: int,
+                                     shadow_lights: tuple | None = None,
+                                     hot_m: int = 0, kb: int = 0,
+                                     ksb: int = 0):
+    """culled_geometry_pallas in SECONDARY-RAY mode with the same analytic
+    VJP as accel.bounce_culled_geometry_op (the backward replays per-ray
+    and never assumed a pinhole — reused verbatim, exactly as the primary
+    pallas op reuses _culled_bwd)."""
+    return culled_geometry_pallas(scene, origins, dirs, tile_p, kp, ks,
+                                  shadow_lights, hot_m, kb, ksb,
+                                  active=active)
+
+
+def _bcp_fwd(scene, origins, dirs, active, tile_p, kp, ks, shadow_lights,
+             hot_m, kb, ksb):
+    hit, occ, aux = culled_geometry_pallas(scene, origins, dirs, tile_p, kp,
+                                           ks, shadow_lights, hot_m, kb, ksb,
+                                           active=active)
+    return (hit, occ, aux), (scene, origins, dirs, hit, aux, active.shape)
+
+
+def _bcp_bwd(tile_p, kp, ks, shadow_lights, hot_m, kb, ksb, res, g):
+    from openglraytracer_tpu.ops.accel import _bounce_culled_bwd
+    return _bounce_culled_bwd(tile_p, kp, ks, shadow_lights, hot_m, kb, ksb,
+                              res, g)
+
+
+bounce_culled_pallas_geometry_op.defvjp(_bcp_fwd, _bcp_bwd)

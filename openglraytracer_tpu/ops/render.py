@@ -206,7 +206,7 @@ def trace_rays_fast(scene: Scene, origins, dirs, depth: int = 0,
                 def recurse(o, d, dd, act):
                     c, child_ovf = _trace_child_culled(
                         scene, o, d, act, dd, child_cull, shadow_lights,
-                        bounce_mask)
+                        bounce_mask, pallas=(engine == "culled_pallas"))
                     ovf_acc.append(child_ovf)
                     return c
             else:
@@ -240,11 +240,17 @@ def trace_rays_fast(scene: Scene, origins, dirs, depth: int = 0,
 
 def _trace_child_culled(scene: Scene, origins, dirs, active, depth: int,
                         child_cull: tuple, shadow_lights: tuple | None,
-                        bounce_mask: tuple):
+                        bounce_mask: tuple, pallas: bool = False):
     """One bounce level through the secondary-ray culled path: bounce-cone
     broad phase + survivor-list narrow phase + survivor-routed materials,
     recursing into deeper levels with the same child spec. Returns
-    (colors (R, 3), overflow scalar summed over this level and below)."""
+    (colors (R, 3), overflow scalar summed over this level and below).
+
+    pallas=True (VERDICT r4 next #4): the narrow phase runs the Mosaic
+    per-ray-origin kernels (pallas_culled.bounce_culled_pallas_geometry_op)
+    instead of the XLA scan — the culled_pallas parent engine's children
+    now stay on the kernel path (tile_p must be 128-aligned, which the
+    culled_pallas parent already guarantees)."""
     from openglraytracer_tpu.ops.accel import (bounce_culled_geometry_op,
                                                cull_overflow_count,
                                                culled_material_rows,
@@ -252,9 +258,14 @@ def _trace_child_culled(scene: Scene, origins, dirs, active, depth: int,
     from openglraytracer_tpu.ops.shading import phong_shade_lit
 
     tile_p, kp, ks, hot_m, kb, ksb = parse_cull_spec(child_cull)
-    hit, occ, aux = bounce_culled_geometry_op(scene, origins, dirs, active,
-                                              tile_p, kp, ks, shadow_lights,
-                                              hot_m, kb, ksb)
+    if pallas:
+        from openglraytracer_tpu.ops.pallas_culled import (
+            bounce_culled_pallas_geometry_op as bounce_op)
+    else:
+        bounce_op = bounce_culled_geometry_op
+    hit, occ, aux = bounce_op(scene, origins, dirs, active,
+                              tile_p, kp, ks, shadow_lights,
+                              hot_m, kb, ksb)
     mat_rows = culled_material_rows(scene, hit, aux, tile_p)
     ovf = cull_overflow_count(aux)
     color = phong_shade_lit(scene, dirs, hit, occ, mat_rows=mat_rows)
@@ -264,7 +275,7 @@ def _trace_child_culled(scene: Scene, origins, dirs, active, depth: int,
         def recurse(o, d, dd, act):
             c, child_ovf = _trace_child_culled(scene, o, d, act, dd,
                                                child_cull, shadow_lights,
-                                               bounce_mask)
+                                               bounce_mask, pallas=pallas)
             ovf_acc.append(child_ovf)
             return c
 
@@ -328,7 +339,9 @@ def _dfs_schedule(depth: int):
 def trace_rays_stack(scene: Scene, origins, dirs, depth: int,
                      chunk_size: int = 512, engine: str = "xla",
                      shadow_lights: tuple | None = None,
-                     bounce_mask: tuple | None = None) -> jnp.ndarray:
+                     bounce_mask: tuple | None = None,
+                     cull: tuple | None = None,
+                     with_cull_stats: bool = False):
     """Full reflection+refraction bounce tree at O(depth * rays) memory.
 
     ``trace_rays``'s static unroll materializes all 2^(depth+1)-1 node
@@ -352,6 +365,16 @@ def trace_rays_stack(scene: Scene, origins, dirs, depth: int,
     and shading ops; verified in tests); backward uses the same analytic
     geometry VJP per step, with the scan saving only O(depth * rays)
     carries per step instead of the tree's full residual set.
+
+    cull (r5, VERDICT r4 next #5): a parse_cull_spec tuple switches every
+    DFS step onto the SECONDARY-RAY culled path (bounce cones over the
+    step's live bundle + survivor-list narrow phase; engine='culled' = XLA
+    narrow phase, 'culled_pallas' = Mosaic per-ray kernels) — deep glass at
+    4096 objects finally composes with culling. Rays must be TILE-MAJOR
+    (accel.tile_image order, which the scan preserves level to level), the
+    spec must cover every level's bundles (size with headroom; overflow is
+    counted and returned, never silent), and with_cull_stats returns
+    (image, overflow) summed across all 2^(depth+1)-1 steps.
     """
     from openglraytracer_tpu.ops.geometry import geometry_op
     from openglraytracer_tpu.ops.shading import phong_shade_lit
@@ -360,17 +383,62 @@ def trace_rays_stack(scene: Scene, origins, dirs, depth: int,
         from openglraytracer_tpu.ops.shading import static_bounce_mask
         bounce_mask = static_bounce_mask(scene)
     has_refl, has_refr = bounce_mask
+    culled = cull is not None
+    if culled:
+        from openglraytracer_tpu.ops.accel import (cull_overflow_count,
+                                                   culled_material_rows,
+                                                   parse_cull_spec)
+        assert engine in ("culled", "culled_pallas"), \
+            "trace_rays_stack with cull needs engine='culled'/'culled_pallas'"
+        tile_p, kp, ks, hot_m, kb, ksb = parse_cull_spec(cull)
+        if isinstance(tile_p, tuple):
+            tile_p = tile_p[0] * tile_p[1]
+        if engine == "culled_pallas":
+            from openglraytracer_tpu.ops.pallas_culled import (
+                bounce_culled_pallas_geometry_op as bounce_op)
+        else:
+            from openglraytracer_tpu.ops.accel import (
+                bounce_culled_geometry_op as bounce_op)
+
+    def cast(o, d, w):
+        """One ray cast + shade; returns (color, hit, overflow)."""
+        if culled:
+            active = w[:, 0] > 0.0
+            hit, occ, aux = bounce_op(scene, o, d, active, tile_p, kp, ks,
+                                      shadow_lights, hot_m, kb, ksb)
+            mat_rows = culled_material_rows(scene, hit, aux, tile_p)
+            color = phong_shade_lit(scene, d, hit, occ, mat_rows=mat_rows)
+            ovf = cull_overflow_count(aux)
+        else:
+            hit, occ = geometry_op(scene, o, d, engine, chunk_size,
+                                   shadow_lights)
+            color = phong_shade_lit(scene, d, hit, occ)
+            ovf = jnp.zeros((), jnp.int32)
+        return jnp.where(hit.hit[:, None], color, 0.0), hit, ovf
+
+    def finish(out, ovf):
+        return (out, ovf) if with_cull_stats else out
+
     if depth == 0 or not (has_refl or has_refr):
-        return trace_rays_fast(scene, origins, dirs, 0,
-                               chunk_size=chunk_size, engine=engine,
-                               shadow_lights=shadow_lights)
+        if culled:
+            c, _, ovf = cast(origins, dirs,
+                             jnp.ones((origins.shape[0], 1), origins.dtype))
+            return finish(c, ovf)
+        return finish(trace_rays_fast(scene, origins, dirs, 0,
+                                      chunk_size=chunk_size, engine=engine,
+                                      shadow_lights=shadow_lights),
+                      jnp.zeros((), jnp.int32))
     if not (has_refl and has_refr):
         # one statically-dead branch: the tree degenerates to a CHAIN — trace
         # depth+1 casts instead of 2^(depth+1)-1, with no pending-frame stack
         # at all (the node weights reduce exactly: a dead branch's edge weight
         # is identically 0 in the blend :1042-1051)
-        return _trace_chain(scene, origins, dirs, depth, has_refl,
-                            chunk_size, engine, shadow_lights)
+        if not culled:
+            return finish(_trace_chain(scene, origins, dirs, depth, has_refl,
+                                       chunk_size, engine, shadow_lights),
+                          jnp.zeros((), jnp.int32))
+        return finish(*_trace_chain_cast(scene, origins, dirs, depth,
+                                         has_refl, cast))
 
     r = origins.shape[0]
     dtype = origins.dtype
@@ -379,7 +447,7 @@ def trace_rays_stack(scene: Scene, origins, dirs, depth: int,
     lvl = jnp.asarray([l for _, l in steps], jnp.int32)
 
     def body(carry, xs):
-        stack, next_o, next_d, next_w, accum = carry
+        stack, next_o, next_d, next_w, accum, ovf_acc = carry
         s, level = xs
         use_next = s < 0
         frame = jax.lax.dynamic_index_in_dim(stack, jnp.maximum(s, 0), 0,
@@ -388,10 +456,7 @@ def trace_rays_stack(scene: Scene, origins, dirs, depth: int,
         d = jnp.where(use_next, next_d, frame[:, 3:6])
         w = jnp.where(use_next, next_w, frame[:, 6:7])          # (R, 1)
 
-        hit, occ = geometry_op(scene, o, d, engine, chunk_size,
-                               shadow_lights)
-        color = phong_shade_lit(scene, d, hit, occ)
-        color = jnp.where(hit.hit[:, None], color, 0.0)
+        color, hit, ovf = cast(o, d, w)
         mat = gather_materials(scene, hit.material_id)
 
         is_leaf = level >= depth
@@ -414,13 +479,49 @@ def trace_rays_stack(scene: Scene, origins, dirs, depth: int,
              w * w_refr], axis=-1)
         stack = jax.lax.dynamic_update_index_in_dim(stack, refr_frame,
                                                     level, 0)
-        return (stack, next_o, next_d, next_w, accum), None
+        return (stack, next_o, next_d, next_w, accum, ovf_acc + ovf), None
 
     init = (jnp.zeros((depth + 1, r, 7), dtype),
-            origins, dirs, jnp.ones((r, 1), dtype), jnp.zeros((r, 3), dtype))
-    (_, _, _, _, accum), _ = jax.lax.scan(jax.checkpoint(body), init,
-                                          (src, lvl))
-    return accum
+            origins, dirs, jnp.ones((r, 1), dtype), jnp.zeros((r, 3), dtype),
+            jnp.zeros((), jnp.int32))
+    (_, _, _, _, accum, ovf), _ = jax.lax.scan(jax.checkpoint(body), init,
+                                               (src, lvl))
+    return finish(accum, ovf)
+
+
+def _trace_chain_cast(scene: Scene, origins, dirs, depth: int,
+                      refl_branch: bool, cast):
+    """Single-branch bounce chain through an arbitrary cast(o, d, w) ->
+    (color, hit, overflow) — the CULLED variant of _trace_chain (every step
+    a bounce-cone survivor pass). Returns (accum (R, 3), overflow)."""
+    r = origins.shape[0]
+    dtype = origins.dtype
+
+    def body(carry, level):
+        o, d, w, accum, ovf_acc = carry
+        color, hit, ovf = cast(o, d, w)
+        mat = gather_materials(scene, hit.material_id)
+        is_leaf = level >= depth
+        weight = mat.reflectivity if refl_branch else mat.transparency
+        w_child = jnp.where(hit.hit & (weight > 0.0) & ~is_leaf,
+                            weight, 0.0)[:, None]
+        accum = accum + w * (1.0 - w_child) * color
+        if refl_branch:
+            o_next = hit.p + hit.n * BOUNCE_EPS
+            d_next = reflect(d, hit.n)
+        else:
+            ratio = jnp.where(hit.inside,
+                              mat.refraction_index / AIR_IOR,
+                              AIR_IOR / mat.refraction_index)
+            o_next = hit.p - hit.n * BOUNCE_EPS
+            d_next = refract(d, hit.n, ratio[:, None])
+        return (o_next, d_next, w * w_child, accum, ovf_acc + ovf), None
+
+    init = (origins, dirs, jnp.ones((r, 1), dtype),
+            jnp.zeros((r, 3), dtype), jnp.zeros((), jnp.int32))
+    (_, _, _, accum, ovf), _ = jax.lax.scan(jax.checkpoint(body), init,
+                                            jnp.arange(depth + 1))
+    return accum, ovf
 
 
 def _trace_chain(scene: Scene, origins, dirs, depth: int, refl_branch: bool,
@@ -574,11 +675,26 @@ def _render_jit(scene: Scene, camera: Camera, height: int, width: int,
                                                    tile_image, untile_image)
         assert cull is not None, \
             f"engine='{engine}' needs cull=((th, tw), kp, ks[, hot_m[, kb, ksb]])"
-        assert bounce != "stack", \
-            f"bounce='stack' is not supported with engine='{engine}' (culled " \
-            "primaries use the tree unroll; requesting the O(depth)-memory " \
-            "stack engine here would silently get O(2^depth) memory — use " \
-            "engine='xla' or 'pallas' for deep recursion)"
+        if bounce == "stack" and not mirror_only:
+            # r5 (VERDICT r4 next #5): deep recursion x culling composes —
+            # every DFS step runs the secondary-ray culled path (bounce
+            # cones + survivor narrow phase, Mosaic kernels for
+            # culled_pallas). The spec must cover bounce bundles too: size
+            # it with suggest_child_cull_config-style headroom; overflow is
+            # counted per step and summed (never silent).
+            (sth, stw), skp, sks, shot, skb, sksb = parse_cull_spec(cull)
+            so = tile_image(origins, sth, stw).reshape(-1, 3)
+            sd = tile_image(dirs, sth, stw).reshape(-1, 3)
+            out = trace_rays_stack(scene, so, sd, depth, engine=engine,
+                                   shadow_lights=shadow_lights,
+                                   bounce_mask=bounce_mask,
+                                   cull=(sth * stw, skp, sks, shot, skb,
+                                         sksb),
+                                   with_cull_stats=with_cull_stats)
+            if with_cull_stats:
+                colors, ovf = out
+                return untile_image(colors, height, width, sth, stw), ovf
+            return untile_image(out, height, width, sth, stw)
         assert row_block is None, \
             f"row_block is not supported with engine='{engine}' (the culled " \
             "path is already tile-blocked); drop --row-block or use " \

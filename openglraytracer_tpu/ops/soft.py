@@ -88,7 +88,10 @@ def suggest_soft_cull(scene: Scene, camera, height: int, width: int,
     mask = sphere_vs_cone(apex, axis, cos_half, scene.spheres.center,
                           scene.spheres.radius * expand_factor(bw))
     kmax = int(jnp.max(jnp.sum(mask, axis=-1)))
-    k = max(8, int(math.ceil(kmax * headroom)))
+    # round up to a multiple of 32: cameras with similar coverage land on
+    # the SAME k, so multi-view fits share one compiled step instead of
+    # paying a compile per view (axon compiles are ~1-5 min at c5 scale)
+    k = max(32, -(-int(math.ceil(kmax * headroom)) // 32) * 32)
     return (th, tw), min(k, int(scene.spheres.count))
 
 

@@ -79,6 +79,11 @@ class FitConfig:
     # gradients for geometry fitting (VERDICT r4 next #2). With soft set,
     # `cull` is the soft spec ((th, tw), k) from soft.suggest_soft_cull (or
     # None for dense) and `engine`/`depth`/`mesh` are ignored/unsupported.
+    # MULTI-VIEW soft fits: pass a tuple of cameras to make_train_step/fit,
+    # a matching tuple of soft cull specs as `cull`, and targets stacked
+    # (V, H, W, 3) — a single view leaves depth-along-the-ray and radius
+    # nearly degenerate (bigger-or-closer), which is exactly where the r5
+    # probe measured the single-view soft fit stalling.
 
 
 def make_train_step(camera: Camera, cfg: FitConfig, mesh=None,
@@ -97,16 +102,32 @@ def make_train_step(camera: Camera, cfg: FitConfig, mesh=None,
     if cfg.soft is not None and mesh is not None:
         raise ValueError("soft fit stages run unsharded (they are the "
                          "coarse curriculum stages); pass mesh=None")
+    # NB: Camera is itself a NamedTuple — a bare isinstance(tuple) check
+    # would classify every single-camera fit as multi-view (caught by the
+    # CLI fit path in r5 verification)
+    multi_view = (isinstance(camera, (list, tuple))
+                  and not isinstance(camera, Camera))
+    if multi_view and cfg.soft is None:
+        raise ValueError("multi-view fitting is a soft-stage feature "
+                         "(hard cull specs are single-camera)")
 
     def loss_fn(params, scene, target, shadow_lights, bounce_mask):
         s = apply_params(scene, params)
         if cfg.soft is not None:
             from openglraytracer_tpu.ops.soft import soft_render
             bw, gamma = cfg.soft
-            img, ovf = soft_render(s, camera, cfg.height, cfg.width,
-                                   bw=bw, gamma=gamma, cull=cfg.cull,
-                                   with_cull_stats=True)
-            return jnp.mean(jnp.square(img - target)), ovf
+            cams = tuple(camera) if multi_view else (camera,)
+            culls = tuple(cfg.cull) if multi_view else (cfg.cull,)
+            tgts = target if multi_view else target[None]
+            loss = 0.0
+            ovf = jnp.zeros((), jnp.int32)
+            for v in range(len(cams)):
+                img, o = soft_render(s, cams[v], cfg.height, cfg.width,
+                                     bw=bw, gamma=gamma, cull=culls[v],
+                                     with_cull_stats=True)
+                loss = loss + jnp.mean(jnp.square(img - tgts[v]))
+                ovf = ovf + o
+            return loss / len(cams), ovf
         # fused_shade=False: the Mosaic shade kernel is the FORWARD-ONLY
         # perf path (its VJP replays the XLA phong, an extra forward inside
         # the backward); training keeps the directly-autodiffed XLA shade —

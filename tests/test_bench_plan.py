@@ -65,3 +65,16 @@ def test_headline_fields():
     _cfg, engine, _k, _tile, _child = bench.PLAN["c3_grid64"]
     assert engine in ("culled", "culled_pallas"), \
         "headline row should run a perf engine"
+
+
+def test_stack_glass_row_runs():
+    """The r5 deep-glass-at-scale row: same code path at tiny shapes."""
+    import bench as b
+    scene, cam = b.glass_grid_scene(4)
+    from openglraytracer_tpu.ops.accel import suggest_stack_cull_config
+    from openglraytracer_tpu.ops.render import render
+    spec = suggest_stack_cull_config(scene, cam, 32, 32, (16, 16),
+                                     headroom=2.0)
+    img, ovf = render(scene, cam, 32, 32, depth=2, engine="culled_pallas",
+                      bounce="stack", cull=spec, with_cull_stats=True)
+    assert img.shape == (32, 32, 3)

@@ -214,3 +214,115 @@ def test_child_culled_obb_matches_dense():
                         cull=cull, child_cull=child)
     np.testing.assert_allclose(np.asarray(img_culled),
                                np.asarray(img_dense), atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Per-ray-origin Mosaic kernels for bounce children (r5, VERDICT r4 next #4)
+# ---------------------------------------------------------------------------
+
+def test_bounce_pallas_matches_xla_bounce():
+    """The per-ray Mosaic narrow phase == the XLA secondary culled pass.
+
+    Tolerance note: unlike the SHARED-origin kernels (whose per-survivor
+    scalars pin the expression shape and match XLA bit-exactly in
+    interpret mode), per-ray mode computes oc/qc per ray in both programs
+    and XLA:CPU contracts the two differently-shaped graphs with different
+    FMA orders — measured 2-3 ulp on ~3% of hit t's, zero discrete flips.
+    Discrete state stays exact; t/normals compare at 1e-5."""
+    from openglraytracer_tpu.ops.accel import bounce_culled_geometry_op
+    from openglraytracer_tpu.ops.geometry import geometry_op
+    from openglraytracer_tpu.ops.pallas_culled import (
+        bounce_culled_pallas_geometry_op)
+    from openglraytracer_tpu.ops.render import BOUNCE_EPS
+    from openglraytracer_tpu.ops.transforms import reflect
+
+    scene, cam = _mirror_scene()
+    cull, child = _specs(scene, cam)
+    o, d = _tiled_rays(cam)
+    hit, _ = geometry_op(scene, o, d, "xla", 512)
+    active = hit.hit & (scene.materials.reflectivity[hit.material_id] > 0.0)
+    co = hit.p + hit.n * BOUNCE_EPS
+    cd = reflect(d, hit.n)
+    tile_p = TILE[0] * TILE[1]
+    _, kp, ks, hot_m, kb, ksb = parse_cull_spec(child)
+    hx, ox = bounce_culled_geometry_op(scene, co, cd, active, tile_p,
+                                       kp, ks, None, hot_m, kb, ksb)[:2]
+    hp, op_ = bounce_culled_pallas_geometry_op(scene, co, cd, active, tile_p,
+                                               kp, ks, None, hot_m, kb,
+                                               ksb)[:2]
+    act = np.asarray(active)
+    for name, a, b in (("obj_id", hx.obj_id, hp.obj_id),
+                       ("hit", hx.hit, hp.hit),
+                       ("material_id", hx.material_id, hp.material_id),
+                       ("inside", hx.inside, hp.inside)):
+        np.testing.assert_array_equal(np.asarray(a)[act],
+                                      np.asarray(b)[act], err_msg=name)
+    np.testing.assert_allclose(np.asarray(hx.t)[act & np.asarray(hx.hit)],
+                               np.asarray(hp.t)[act & np.asarray(hx.hit)],
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(hx.n)[act],
+                               np.asarray(hp.n)[act], atol=1e-5)
+    live = act & np.asarray(hx.hit)
+    # occlusion bits can flip only where a shadow segment grazes an
+    # occluder within the t ulp noise — none observed, assert exact
+    np.testing.assert_array_equal(np.asarray(ox)[live],
+                                  np.asarray(op_)[live])
+
+
+def test_child_culled_pallas_image_matches_dense():
+    """culled_pallas + child_cull: the full depth-1 mirror image through the
+    per-ray Mosaic kernels equals the dense child scan's."""
+    scene, cam = _mirror_scene()
+    cull, child = _specs(scene, cam)
+    img_dense = render(scene, cam, H, W, depth=1, engine="culled", cull=cull)
+    img_k = render(scene, cam, H, W, depth=1, engine="culled_pallas",
+                   cull=cull, child_cull=child)
+    np.testing.assert_allclose(np.asarray(img_k), np.asarray(img_dense),
+                               atol=1e-5)
+
+
+def test_child_culled_pallas_depth2_matches_dense():
+    scene, cam = _mirror_scene()
+    cull, child = _specs(scene, cam)
+    img_dense = render(scene, cam, H, W, depth=2, engine="culled", cull=cull)
+    img_k = render(scene, cam, H, W, depth=2, engine="culled_pallas",
+                   cull=cull, child_cull=child)
+    np.testing.assert_allclose(np.asarray(img_k), np.asarray(img_dense),
+                               atol=1e-5)
+
+
+def test_child_culled_pallas_gradients_match_dense():
+    scene, cam = _mirror_scene()
+    cull, child = _specs(scene, cam)
+    trainable = ("spheres.center", "spheres.radius", "materials.diffuse")
+    params = extract_params(scene, trainable)
+
+    def loss(params, engine, child_cull):
+        s = apply_params(scene, params)
+        img = render(s, cam, H, W, depth=1, engine=engine, cull=cull,
+                     child_cull=child_cull, fused_shade=False,
+                     bounce_mask=static_bounce_mask(scene))
+        return jnp.mean(jnp.square(img - 0.25))
+
+    g_dense = jax.grad(loss)(params, "culled", None)
+    g_k = jax.grad(loss)(params, "culled_pallas", child)
+    for k in params:
+        np.testing.assert_allclose(np.asarray(g_k[k]),
+                                   np.asarray(g_dense[k]),
+                                   rtol=2e-4, atol=1e-6, err_msg=k)
+
+
+def test_child_culled_pallas_obb_scene():
+    """Per-ray BOX narrow phase in the kernel (R^T (o - pos) computed per
+    ray): the animated OBB world's reflective mirror cube at depth 1."""
+    from openglraytracer_tpu.models.animated import reference_frame
+    from openglraytracer_tpu.ops.accel import suggest_child_cull_config
+    scene, cam = reference_frame(1.2)
+    h, w = 32, 64
+    cull = suggest_cull_config(scene, cam, h, w, TILE, headroom=1.5)
+    child = suggest_child_cull_config(scene, cam, h, w, cull, headroom=1.5)
+    img_dense = render(scene, cam, h, w, depth=1, engine="culled", cull=cull)
+    img_k = render(scene, cam, h, w, depth=1, engine="culled_pallas",
+                   cull=cull, child_cull=child)
+    np.testing.assert_allclose(np.asarray(img_k), np.asarray(img_dense),
+                               atol=1e-5)

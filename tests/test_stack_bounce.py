@@ -92,3 +92,86 @@ def test_stack_depth0_falls_back():
     b = trace_rays(scene, o, d, 0)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Culled stack engine (r5, VERDICT r4 next #5): deep recursion x culling
+# ---------------------------------------------------------------------------
+
+def _glass_full_spec(scene, tile=(16, 16)):
+    """A spec no bundle can overflow (K = N): exact-equality harness."""
+    n = int(scene.spheres.count)
+    return (tile, max(n, 1), max(n, 1), 0, 0, 0)
+
+
+def test_culled_stack_matches_dense_stack():
+    """Glass world (reflection AND refraction) at depth 3: the culled stack
+    engine == the dense stack engine when no list can overflow."""
+    from openglraytracer_tpu.models.animated import reference_frame
+    scene, cam = reference_frame(0.9)
+    h, w = 32, 64
+    spec = _glass_full_spec(scene)
+    dense = render(scene, cam, h, w, depth=3, engine="xla", bounce="stack")
+    culled, ovf = render(scene, cam, h, w, depth=3, engine="culled",
+                         bounce="stack", cull=spec, with_cull_stats=True)
+    assert int(ovf) == 0
+    np.testing.assert_allclose(np.asarray(culled), np.asarray(dense),
+                               atol=1e-5)
+
+
+def test_culled_pallas_stack_matches_dense_stack():
+    from openglraytracer_tpu.models.animated import reference_frame
+    scene, cam = reference_frame(0.9)
+    h, w = 32, 64
+    spec = _glass_full_spec(scene)
+    dense = render(scene, cam, h, w, depth=3, engine="xla", bounce="stack")
+    culled = render(scene, cam, h, w, depth=3, engine="culled_pallas",
+                    bounce="stack", cull=spec)
+    np.testing.assert_allclose(np.asarray(culled), np.asarray(dense),
+                               atol=1e-5)
+
+
+def test_culled_stack_mirror_chain_matches():
+    """Mirror-only scene (dead refraction branch): the culled stack engine
+    takes the O(depth) chain path with per-step bounce culling."""
+    from openglraytracer_tpu.models.builders import sphere_grid_scene
+    scene, cam = sphere_grid_scene(4, reflectivity=0.6, seed=3)
+    h = w = 48
+    spec = _glass_full_spec(scene)
+    dense = render(scene, cam, h, w, depth=3, engine="xla", bounce="stack")
+    culled, ovf = render(scene, cam, h, w, depth=3, engine="culled",
+                         bounce="stack", cull=spec, with_cull_stats=True)
+    assert int(ovf) == 0
+    np.testing.assert_allclose(np.asarray(culled), np.asarray(dense),
+                               atol=1e-5)
+
+
+def test_culled_stack_overflow_counted():
+    from openglraytracer_tpu.models.builders import sphere_grid_scene
+    scene, cam = sphere_grid_scene(4, reflectivity=0.6, seed=3)
+    spec = ((16, 16), 1, 1, 0, 0, 0)    # absurdly small K: must overflow
+    _, ovf = render(scene, cam, 48, 48, depth=2, engine="culled",
+                    bounce="stack", cull=spec, with_cull_stats=True)
+    assert int(ovf) > 0
+
+
+def test_culled_stack_gradients_match_dense_stack():
+    from openglraytracer_tpu.models.builders import sphere_grid_scene
+    from openglraytracer_tpu.train.inverse import apply_params, extract_params
+    scene, cam = sphere_grid_scene(3, reflectivity=0.5, seed=5)
+    h = w = 32
+    spec = _glass_full_spec(scene)
+    params = extract_params(scene, ("spheres.center", "materials.diffuse"))
+
+    def loss(params, engine, cull):
+        s = apply_params(scene, params)
+        img = render(s, cam, h, w, depth=2, engine=engine, bounce="stack",
+                     cull=cull)
+        return jnp.mean(jnp.square(img - 0.3))
+
+    g_dense = jax.grad(loss)(params, "xla", None)
+    g_culled = jax.grad(loss)(params, "culled", spec)
+    for k in params:
+        np.testing.assert_allclose(np.asarray(g_culled[k]),
+                                   np.asarray(g_dense[k]),
+                                   rtol=1e-4, atol=1e-6, err_msg=k)

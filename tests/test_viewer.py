@@ -52,3 +52,37 @@ def test_viewer_stream_end_to_end():
         streamer.stop()
         server.shutdown()
     assert streamer.frame_no == 3
+
+
+def test_pipelined_producer_publishes_all_frames_in_order():
+    """The depth-N pipeline (r5): concurrent fetch/encode workers must
+    publish every frame exactly once, in order, and stop cleanly."""
+    seen = []
+    streamer = FrameStreamer(height=16, width=16, depth=0, engine="xla",
+                             max_frames=8, pipeline_depth=3)
+    streamer.start()
+    last = 0
+    while not streamer.done:
+        n, jpeg = streamer.wait_frame(last, timeout=60)
+        if n > last:
+            assert jpeg[:2] == b"\xff\xd8"
+            seen.append(n)
+            last = n
+    streamer.stop()
+    assert streamer.error is None
+    assert streamer.frame_no == 8
+    assert seen == sorted(seen), "publishes must be in order"
+
+
+def test_pipelined_producer_respects_fps_cap():
+    import time as _t
+    streamer = FrameStreamer(height=16, width=16, depth=0, engine="xla",
+                             max_frames=6, pipeline_depth=2, fps_cap=30.0)
+    t0 = _t.monotonic()
+    streamer.start()
+    streamer.wait_frame(5, timeout=60)
+    streamer.stop()
+    assert streamer.error is None
+    assert streamer.frame_no == 6
+    # 6 frames at <= 30 FPS: at least ~5 inter-frame gaps of 1/30 s
+    assert _t.monotonic() - t0 >= 5 / 30.0
