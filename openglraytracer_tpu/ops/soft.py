@@ -280,6 +280,12 @@ def soft_render_rays(scene: Scene, origins, dirs, *, bw: float, gamma: float,
             tile_block -= 1
     nb = t_tiles // tile_block
 
+    # jax.checkpoint: without it the lax.map backward SAVES every block's
+    # (B, P, K) shading/compositing intermediates — at c5 512^2 bw=0.5
+    # that is ~20 x 352 MB of HLO temps, an instant OOM (measured r5).
+    # Remat recomputes the block forward inside the backward instead: peak
+    # memory drops to one block's working set at ~1.3x backward FLOPs.
+    @jax.checkpoint
     def block(args):
         o_b, d_b, rows_b, valid_b = args
         return _composite_block(scene, mat_tab, o_b, d_b, rows_b, valid_b,

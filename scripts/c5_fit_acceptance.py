@@ -134,6 +134,13 @@ def main():
     for stale in (log_path,):
         if os.path.exists(stale):
             os.remove(stale)
+    # a PREVIOUS run's checkpoints must not leak into this one: fit()
+    # auto-restores the latest step, and a stale step-200 checkpoint makes
+    # the 200-step hard stage a 0-step no-op (measured r5: the r4 ckpt dir
+    # turned the final stage into an empty loss list)
+    if os.path.isdir(ckpt_dir):
+        import shutil
+        shutil.rmtree(ckpt_dir)
 
     scene_true, cam = sphere_grid_scene(GRID_SIDE, seed=1)
 
