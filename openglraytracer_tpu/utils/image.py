@@ -37,6 +37,68 @@ def to_uint8_device(image):
     return img[::-1]
 
 
+def to_yuv420_device(image):
+    """Jittable [0,1] float (H, W, 3) -> (Y (H, W), Cb (H/2, W/2),
+    Cr (H/2, W/2)) uint8 planes, rows flipped top-first.
+
+    The live viewer's transport format (r5): JPEG stores chroma at 4:2:0
+    anyway, so subsampling ON DEVICE before the host fetch halves the
+    fetched bytes (3 -> 1.5 per pixel) with no loss versus the JPEG the
+    consumer was going to see — and the dev-tunnel fetch is the measured
+    720p frame-rate binder (~100 ms for 2.76 MB, artifacts/viewer_fps.json).
+    Full-range BT.601, matching JFIF/PIL 'YCbCr'. H and W must be even."""
+    import jax.numpy as jnp
+    img = jnp.clip(image, 0.0, 1.0)[::-1]          # row 0 = top, like to_uint8
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 0.5 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 0.5 + 0.5 * r - 0.418688 * g - 0.081312 * b
+
+    def q(x):
+        return (jnp.clip(x, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+
+    def pool2(x):   # 2x2 mean chroma subsample
+        h, w = x.shape
+        return x.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+
+    return q(y), q(pool2(cb)), q(pool2(cr))
+
+
+def pack_yuv420_device(image):
+    """to_yuv420_device packed into ONE flat uint8 buffer (Y | Cb | Cr):
+    the dev tunnel charges a fixed round-trip per device->host transfer
+    (measured ~40 ms regardless of size), so one packed fetch beats three
+    plane fetches by two round-trips per frame."""
+    import jax.numpy as jnp
+    y, cb, cr = to_yuv420_device(image)
+    return jnp.concatenate([y.reshape(-1), cb.reshape(-1), cr.reshape(-1)])
+
+
+def unpack_yuv420(buf, height: int, width: int):
+    """Host-side inverse of pack_yuv420_device -> (Y, Cb, Cr) ndarrays."""
+    buf = np.asarray(buf)
+    hw = height * width
+    q = hw // 4
+    return (buf[:hw].reshape(height, width),
+            buf[hw:hw + q].reshape(height // 2, width // 2),
+            buf[hw + q:hw + 2 * q].reshape(height // 2, width // 2))
+
+
+def yuv420_to_jpeg(y, cb, cr, quality: int = 85) -> bytes:
+    """Host side: upsample chroma (nearest), merge to a PIL 'YCbCr' image,
+    encode JPEG (PIL's JPEG encoder consumes YCbCr natively — no RGB
+    round-trip)."""
+    import io
+
+    from PIL import Image
+    cbu = np.repeat(np.repeat(cb, 2, axis=0), 2, axis=1)
+    cru = np.repeat(np.repeat(cr, 2, axis=0), 2, axis=1)
+    ycc = np.stack([np.asarray(y), cbu, cru], axis=-1)
+    buf = io.BytesIO()
+    Image.fromarray(ycc, "YCbCr").save(buf, "JPEG", quality=quality)
+    return buf.getvalue()
+
+
 def _png_chunk(tag: bytes, data: bytes) -> bytes:
     chunk = tag + data
     return struct.pack(">I", len(data)) + chunk + \

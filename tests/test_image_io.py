@@ -75,3 +75,36 @@ def test_native_tonemap_matches_python():
     rng = np.random.default_rng(2)
     img = rng.normal(0.5, 0.5, (19, 27, 3)).astype(np.float32)
     np.testing.assert_array_equal(native.tonemap_u8(img), to_uint8(img))
+
+
+def test_yuv420_transport_matches_rgb_jpeg():
+    """The viewer's device-side 4:2:0 transport (r5): a YUV420-transported
+    frame decodes to (almost) the same pixels as the RGB-transported one —
+    JPEG subsamples chroma to 4:2:0 anyway, so the transport loses nothing
+    the consumer would have seen."""
+    import io
+
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from openglraytracer_tpu.utils.image import (to_uint8_device,
+                                                 to_yuv420_device,
+                                                 yuv420_to_jpeg)
+
+    rng = np.random.default_rng(7)
+    # smooth-ish field (JPEG murders white noise; the viewer ships renders)
+    base = rng.random((9, 12, 3))
+    img = jnp.asarray(np.repeat(np.repeat(base, 4, 0), 4, 1))  # (36, 48, 3)
+
+    jpeg_yuv = yuv420_to_jpeg(*[np.asarray(p) for p in to_yuv420_device(img)],
+                              quality=95)
+    buf = io.BytesIO()
+    Image.fromarray(np.asarray(to_uint8_device(img))).save(buf, "JPEG",
+                                                           quality=95)
+    a = np.asarray(Image.open(io.BytesIO(jpeg_yuv)).convert("RGB"), np.int16)
+    b = np.asarray(Image.open(buf).convert("RGB"), np.int16)
+    assert a.shape == b.shape
+    err = np.abs(a - b)
+    assert err.mean() < 3.0, f"mean {err.mean()}"
+    assert np.percentile(err, 99) <= 12, f"p99 {np.percentile(err, 99)}"

@@ -86,3 +86,20 @@ def test_pipelined_producer_respects_fps_cap():
     assert streamer.frame_no == 6
     # 6 frames at <= 30 FPS: at least ~5 inter-frame gaps of 1/30 s
     assert _t.monotonic() - t0 >= 5 / 30.0
+
+
+def test_culled_viewer_with_packed_overflow_flag():
+    """Culled engines ride the overflow flag inside the packed yuv fetch
+    (r5): the stream must still produce frames and auto-rebuild on
+    overflow without a separate device sync."""
+    streamer = FrameStreamer(height=16, width=16, depth=0, engine="culled",
+                             cull_tile=8, max_frames=4, pipeline_depth=2,
+                             transport="yuv420")
+    streamer.start()
+    n, jpeg = streamer.wait_frame(0, timeout=120)
+    while not streamer.done:
+        n, jpeg = streamer.wait_frame(n, timeout=120)
+    streamer.stop()
+    assert streamer.error is None
+    assert streamer.frame_no == 4
+    assert jpeg[:2] == b"\xff\xd8"
