@@ -247,17 +247,45 @@ def cmd_fit(args):
                                    tile, headroom=2.0)
         print(f"cull: {cull}")
 
+    soft = None
+    if args.soft:
+        # silhouette-aware soft-coverage fit stage (ops/soft.py, r5):
+        # --soft BW,GAMMA; the target (self-rendered mode) is soft-rendered
+        # at the same constants so the true scene is the exact optimum
+        try:
+            bw, gamma = (float(x) for x in args.soft.split(","))
+        except ValueError:
+            raise SystemExit(f"--soft wants BW,GAMMA (got {args.soft!r})")
+        if args.engine not in ("auto",):
+            raise SystemExit("--soft replaces the hard engine; drop --engine")
+        if args.sharded:
+            raise SystemExit("--soft stages run unsharded")
+        from openglraytracer_tpu.ops.soft import suggest_soft_cull
+        t = args.cull_tile
+        if args.height % t or args.width % t:
+            raise SystemExit(f"--cull-tile {t} must divide the fit "
+                             f"resolution {args.width}x{args.height}")
+        soft = (bw, gamma)
+        cull = suggest_soft_cull(scene_true, cam, args.height, args.width,
+                                 (t, t), bw, headroom=2.0)
+        print(f"soft cull: {cull}")
+
     cfg = FitConfig(height=args.height, width=args.width,
                     depth=args.depth,
                     steps=args.steps, learning_rate=args.lr,
                     checkpoint_dir=args.checkpoint_dir,
                     trainable=tuple(args.trainable.split(",")),
                     engine=args.engine, cull=cull,
-                    row_block=args.row_block)
+                    row_block=args.row_block, soft=soft)
     if target is None:
         # self-rendered target + perturbed init (the classic synthetic fit)
-        target = render(scene_true, cam, cfg.height, cfg.width,
-                        depth=cfg.depth)
+        if soft is not None:
+            from openglraytracer_tpu.ops.soft import soft_render
+            target = soft_render(scene_true, cam, cfg.height, cfg.width,
+                                 bw=soft[0], gamma=soft[1], cull=cull)
+        else:
+            target = render(scene_true, cam, cfg.height, cfg.width,
+                            depth=cfg.depth)
         import jax
         key = jax.random.PRNGKey(0)
         k1, k2 = jax.random.split(key)
@@ -403,6 +431,11 @@ def main(argv=None):
     f.add_argument("--sharded", action="store_true")
     f.add_argument("--engine", default="auto",
                    choices=["auto", "xla", "pallas", "culled", "culled_pallas"])
+    f.add_argument("--soft", default=None, metavar="BW,GAMMA",
+                   help="soft-coverage forward for silhouette-aware "
+                        "geometry fitting (ops/soft.py): e.g. --soft "
+                        "0.3,0.3; anneal over successive runs via "
+                        "--checkpoint-dir")
     f.add_argument("--cull-tile", type=int, default=32)
     f.add_argument("--row-block", type=int, default=None)
     f.add_argument("--checkpoint-dir", default=None)

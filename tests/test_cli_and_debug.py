@@ -113,3 +113,30 @@ def test_assert_finite_tree():
         radius=scene.spheres.radius.at[0].set(float("nan"))))
     with pytest.raises(FloatingPointError):
         assert_finite_tree(bad, "scene")
+
+
+def test_cli_soft_fit(tmp_path, monkeypatch):
+    """`oglrt fit --soft BW,GAMMA`: the soft-coverage fit through the CLI
+    surface (r5) — loss must fall on the synthetic self-target."""
+    import sys
+
+    from openglraytracer_tpu.cli import main
+    monkeypatch.setattr(sys, "argv",
+                        ["oglrt", "fit", "--grid-side", "2", "--width", "32",
+                         "--height", "32", "--steps", "15", "--soft",
+                         "0.3,0.3", "--cull-tile", "16"])
+    main()
+
+
+def test_cli_soft_fit_rejects_engine(monkeypatch, capsys):
+    import sys
+
+    import pytest
+
+    from openglraytracer_tpu.cli import main
+    monkeypatch.setattr(sys, "argv",
+                        ["oglrt", "fit", "--grid-side", "2", "--width", "32",
+                         "--height", "32", "--steps", "5", "--soft",
+                         "0.3,0.3", "--engine", "culled"])
+    with pytest.raises(SystemExit):
+        main()
