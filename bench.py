@@ -222,12 +222,13 @@ def bench_config(name: str, scene, cam, height: int, width: int, depth: int,
                                child_cull=child_cull)
 
     def forward_train(scene):
-        # training path: XLA shade (the fused Mosaic shade is forward-only —
-        # its VJP replays the phong forward inside the backward)
+        # training path: fused Mosaic shade WITH the r5 analytic backward
+        # kernel (ops/pallas_shade.py) — the r4 replay-VJP penalty is gone,
+        # so forward and training share the fused path
         return trace_rays_fast(scene, o, d, depth, engine=engine, cull=cull,
                                shadow_lights=shadow_mask,
                                bounce_mask=bounce_mask,
-                               child_cull=child_cull, fused_shade=False)
+                               child_cull=child_cull)
 
     fwd_jit = jax.jit(forward)
     t_fwd, c_fwd, w_fwd = _pipelined(fwd_jit, (scene,), k=k, windows=windows)

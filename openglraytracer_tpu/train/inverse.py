@@ -111,6 +111,10 @@ def make_train_step(camera: Camera, cfg: FitConfig, mesh=None,
         raise ValueError("multi-view fitting is a soft-stage feature "
                          "(hard cull specs are single-camera)")
 
+    # fused_shade=True (r5): the Mosaic shade kernel's VJP is now the
+    # ANALYTIC backward kernel (ops/pallas_shade.py, OGLRT_SHADE_BWD=xla
+    # for the replay ablation) — measured c3 fwd+bwd 8.25 -> 6.47 ms, so
+    # training keeps the fused path it had to avoid in r4.
     def loss_fn(params, scene, target, shadow_lights, bounce_mask):
         s = apply_params(scene, params)
         if cfg.soft is not None:
@@ -128,10 +132,6 @@ def make_train_step(camera: Camera, cfg: FitConfig, mesh=None,
                 loss = loss + jnp.mean(jnp.square(img - tgts[v]))
                 ovf = ovf + o
             return loss / len(cams), ovf
-        # fused_shade=False: the Mosaic shade kernel is the FORWARD-ONLY
-        # perf path (its VJP replays the XLA phong, an extra forward inside
-        # the backward); training keeps the directly-autodiffed XLA shade —
-        # gradient-identical and measured faster end-to-end (r4)
         if mesh is not None:
             img, ovf = render_sharded(
                 s, camera, cfg.height, cfg.width, mesh=mesh,
@@ -139,7 +139,7 @@ def make_train_step(camera: Camera, cfg: FitConfig, mesh=None,
                 remat=cfg.remat, engine=cfg.engine,
                 cull=cfg.cull, shadow_lights=shadow_lights,
                 with_cull_stats=True, bounce_mask=bounce_mask,
-                child_cull=cfg.child_cull, fused_shade=False)
+                child_cull=cfg.child_cull)
         else:
             img, ovf = render(s, camera, cfg.height, cfg.width,
                               depth=cfg.depth,
@@ -148,7 +148,7 @@ def make_train_step(camera: Camera, cfg: FitConfig, mesh=None,
                               row_block=cfg.row_block,
                               shadow_lights=shadow_lights,
                               with_cull_stats=True, bounce_mask=bounce_mask,
-                              child_cull=cfg.child_cull, fused_shade=False)
+                              child_cull=cfg.child_cull)
         return jnp.mean(jnp.square(img - target)), ovf
 
     def init_fn(scene: Scene):

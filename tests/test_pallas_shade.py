@@ -62,3 +62,43 @@ def test_fused_shade_gradients_match():
         scale = max(np.abs(a).max(), 1e-8)
         np.testing.assert_allclose(b, a, atol=3e-4 * scale,
                                    err_msg=f"grad mismatch for {k}")
+
+
+def test_analytic_backward_matches_xla_replay(monkeypatch):
+    """The r5 Mosaic backward kernel == the r4 phong_core replay VJP on
+    every cotangent (mat rows, all four light columns, dirs, p, n) — few
+    ulp, generic data."""
+    import numpy as np
+
+    from openglraytracer_tpu.ops.pallas_shade import _phong_xla, phong_fused
+
+    rng = np.random.default_rng(3)
+    r_tot, n_l, tile_p = 512, 3, 256
+    mat = jnp.asarray(rng.random((r_tot, 20)), jnp.float32)
+    lpos = jnp.asarray(rng.normal(0, 5, (n_l, 3)), jnp.float32)
+    lamb = jnp.asarray(rng.random((n_l, 4)), jnp.float32)
+    ldiff = jnp.asarray(rng.random((n_l, 4)), jnp.float32)
+    lspec = jnp.asarray(rng.random((n_l, 4)), jnp.float32)
+    dirs = jnp.asarray(rng.normal(0, 1, (r_tot, 3)), jnp.float32)
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    p = jnp.asarray(rng.normal(0, 3, (r_tot, 3)), jnp.float32)
+    nrm = jnp.asarray(rng.normal(0, 1, (r_tot, 3)), jnp.float32)
+    nrm = nrm / jnp.linalg.norm(nrm, axis=-1, keepdims=True)
+    occ = jnp.asarray((rng.random((r_tot, n_l)) < 0.3).astype(np.float32))
+    tgt = jnp.asarray(rng.random((r_tot, 3)), jnp.float32)
+    args = (mat, lpos, lamb, ldiff, lspec, dirs, p, nrm)
+
+    def loss_k(*a):
+        return jnp.mean(jnp.square(phong_fused(*a, occ, tile_p) - tgt))
+
+    def loss_x(*a):
+        return jnp.mean(jnp.square(_phong_xla(*a, occ) - tgt))
+
+    monkeypatch.setenv("OGLRT_SHADE_BWD", "kernel")
+    gk = jax.grad(loss_k, argnums=tuple(range(8)))(*args)
+    gx = jax.grad(loss_x, argnums=tuple(range(8)))(*args)
+    for name, a, b in zip(
+            ("mat", "lpos", "lamb", "ldiff", "lspec", "dirs", "p", "n"),
+            gk, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-6, err_msg=name)
