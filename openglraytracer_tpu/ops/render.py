@@ -186,11 +186,10 @@ def trace_rays_fast(scene: Scene, origins, dirs, depth: int = 0,
         if engine == "culled_pallas" and fused_shade:
             # fused Mosaic shade (ops/pallas_shade.py): one VMEM pass over
             # the ray tile instead of XLA's HBM-materialized per-light
-            # chain. FORWARD-ONLY perf path: its custom VJP replays the XLA
-            # phong (an extra forward inside the backward), so training
-            # callers pass fused_shade=False and keep the directly-autodiffed
-            # XLA shade — measured r4 c3 fwd 4.97 ms fused vs 7.45 ms XLA,
-            # but fwd+bwd 9.94 ms fused vs 8.51 ms XLA
+            # chain (r4: c3 fwd 4.97 ms fused vs 7.45 ms XLA). Since r5 its
+            # custom VJP is the ANALYTIC backward kernel (not the r4 phong
+            # replay), so the fused path is also the TRAINING path —
+            # measured c3 fwd+bwd 6.72 ms fused vs 8.25 ms XLA shade.
             from openglraytracer_tpu.ops.pallas_shade import shade_fused
 
             def shade(hit, occ, mat_rows):
