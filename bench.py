@@ -204,11 +204,16 @@ def bench_config(name: str, scene, cam, height: int, width: int, depth: int,
         if use_child_cull and depth > 0:
             # secondary-ray culling (VERDICT r2 next #4): size the child
             # lists from a measured bounce pass
-            cspec = suggest_child_cull_config(scene, cam, height, width,
-                                              spec,
-                                              shadow_lights=shadow_mask)
+            cspec = suggest_child_cull_config(
+                scene, cam, height, width, spec,
+                shadow_lights=shadow_mask,
+                # the XLA child path has no hot-primary pass: max-sized
+                # lists there, quantile cap + hot budget on the kernels
+                hot_primary=(engine == "culled_pallas"))
             _, ckp, cks, chot, ckb, cksb = parse_cull_spec(cspec)
-            child_cull = (tile[0] * tile[1], ckp, cks, chot, ckb, cksb)
+            from openglraytracer_tpu.ops.accel import cull_hot_p
+            child_cull = (tile[0] * tile[1], ckp, cks, chot, ckb, cksb,
+                          cull_hot_p(cspec))
     else:
         o = origins.reshape(-1, 3)
         d = dirs.reshape(-1, 3)
@@ -277,6 +282,15 @@ def bench_config(name: str, scene, cam, height: int, width: int, depth: int,
         "fwd_windows": _dispersion(w_fwd),
         "fwd_bwd_windows": _dispersion(w_step),
     }
+    if cull is not None:
+        # overflow-exactness evidence on every culled row (r5): one extra
+        # stats forward — a nonzero count means survivor/winner lists
+        # dropped information this frame and the row is NOT exact
+        _, ovf = jax.jit(lambda s: trace_rays_fast(
+            s, o, d, depth, engine=engine, cull=cull,
+            shadow_lights=shadow_mask, bounce_mask=bounce_mask,
+            child_cull=child_cull, with_cull_stats=True))(scene)
+        row["cull_overflow_events"] = int(ovf)
 
     peak = _chip_peak()
     hbm = _chip_hbm()
@@ -408,7 +422,7 @@ def bench_stack_glass4096(height: int = 1024, width: int = 1024,
     # trip counts the dense cap costs only what each tile actually sees,
     # and the row renders overflow-free (0 events)
     n = int(scene.spheres.count)
-    spec = (spec[0], spec[1], n, 0, spec[4], spec[5])
+    spec = (spec[0], spec[1], n, 0, spec[4], spec[5]) + tuple(spec[6:])
 
     def fwd(s):
         img, ovf = render(s, cam, height, width, depth=depth,

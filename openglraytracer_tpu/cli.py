@@ -102,12 +102,16 @@ def cmd_render(args):
             if depth <= 0:
                 raise SystemExit("--child-cull needs --depth >= 1 "
                                  "(it accelerates bounce children)")
-            cspec = suggest_child_cull_config(scene, cam, h, w, spec)
+            cspec = suggest_child_cull_config(
+                scene, cam, h, w, spec,
+                # hot-primary dense fallback is a Mosaic-path feature; the
+                # XLA child path gets max-sized (never-truncating) lists
+                hot_primary=(args.engine == "culled_pallas"))
             kwargs["child_cull"] = cspec
             print(f"child cull: "
                   + " ".join(f"{k}={v}" for k, v in
-                             zip(("kp", "ks", "hot_m", "kb", "ksb"),
-                                 cspec[1:])))
+                             zip(("kp", "ks", "hot_m", "kb", "ksb",
+                                  "hot_p"), cspec[1:])))
     elif getattr(args, "child_cull", False):
         # mirror the --depth check's feedback: an equally wrong invocation
         # must not be silently ignored (ADVICE r3)

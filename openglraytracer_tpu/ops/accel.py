@@ -608,6 +608,19 @@ def parse_cull_spec(cull):
     return tile, kp, ks, hot_m, kb, ksb
 
 
+def cull_hot_p(cull) -> int:
+    """Optional 7th spec element: hot-PRIMARY tile count for the secondary
+    (bounce-bundle) Mosaic path. Tiles whose bounce cone keeps more than Kp
+    objects are routed to a dense all-objects kernel pass over the global
+    object table instead of a gathered per-tile survivor list — Kp can then
+    be sized by a quantile of the counts instead of the max (curved-mirror
+    tiles legitimately see most of the scene; sizing every tile's static
+    list for them was the measured c4_mirror4096 bottleneck: a
+    (T, 4096, 8) gather per bounce level). 0 = no hot-primary pass
+    (every 6-element spec behaves exactly as before)."""
+    return cull[6] if len(cull) > 6 else 0
+
+
 def culled_geometry(scene: Scene, origins, dirs, tile_p: int, kp: int,
                     ks: int, shadow_lights: tuple | None = None,
                     hot_m: int = 0, kb: int = 0, ksb: int = 0,
@@ -1413,9 +1426,20 @@ def suggest_cull_config(scene: Scene, camera, height: int, width: int,
 
 
 def _spec_from_counts(scene: Scene, p_count, s_count, pb_count, sb_count,
-                      tile, headroom: float, min_k: int, hot: bool = True):
+                      tile, headroom: float, min_k: int, hot: bool = True,
+                      hot_primary: bool = False, w_count=None):
     """Size a cull spec from measured survivor counts (shared by
-    suggest_cull_config and suggest_child_cull_config)."""
+    suggest_cull_config and suggest_child_cull_config).
+
+    hot_primary=True (secondary/bounce specs only, r5): also size a
+    hot-PRIMARY tile budget with the same quantile/cost model the shadow
+    lists use — Kp becomes a quantile cap and the hot_p over-cap tiles run
+    a dense global-table kernel pass (see cull_hot_p). The m grid extends
+    to T/2 because bounce-count distributions are far heavier-tailed than
+    shadow counts (mirror4096: p50 = 0, p90 = N). w_count (T,) measured
+    DISTINCT-winner counts floors Kp so the posthoc winner lists the hot
+    pass rebuilds for the backward/material routing never overflow at the
+    measured frame."""
     n = int(scene.spheres.count)
     n_box = int(scene.boxes.count)
 
@@ -1424,20 +1448,38 @@ def _spec_from_counts(scene: Scene, p_count, s_count, pb_count, sb_count,
 
     def box_spec():
         if not n_box:
-            return ()
+            return (0, 0) if hot_primary else ()
         kb = max(1, min(n_box, int(np.ceil(int(jnp.max(pb_count))
                                            * headroom))))
         max_sb = int(np.max(np.asarray(sb_count))) if sb_count.size else 0
         ksb = max(1, min(n_box, int(np.ceil(max_sb * headroom))))
         return (kb, ksb)
 
-    kp = rounded(int(jnp.max(p_count))) if n else min_k
+    hot_p = 0
+    if hot_primary and n:
+        counts_p = np.sort(np.asarray(p_count))[::-1]        # (T,) desc
+        t_tiles = counts_p.shape[0]
+        w_floor = rounded(int(np.max(np.asarray(w_count)))) \
+            if w_count is not None and np.asarray(w_count).size else min_k
+        best = None
+        for m in [0] + [max(1, t_tiles // f) for f in (64, 32, 16, 8, 4, 2)]:
+            kp_m = int(counts_p[min(m, t_tiles - 1)]) if m < t_tiles else 0
+            kp_m = max(rounded(kp_m), w_floor)
+            # same cost units as the shadow model: per-tile list work
+            # (gather + scan, 64-lane floor) + m dense all-N scans
+            cost = t_tiles * max(kp_m, 64) + m * n
+            if best is None or cost < best[0]:
+                best = (cost, kp_m, m)
+        _, kp, hot_p = best
+    else:
+        kp = rounded(int(jnp.max(p_count))) if n else min_k
+    tail = (hot_p,) if hot_primary else ()
     if not s_count.size:
-        return (tile, kp, min_k, 0) + box_spec()
+        return (tile, kp, min_k, 0) + box_spec() + tail
 
     if not hot:
         ks = rounded(int(np.max(np.asarray(s_count))))
-        return (tile, kp, ks, 0) + box_spec()
+        return (tile, kp, ks, 0) + box_spec() + tail
 
     counts = np.sort(np.asarray(s_count), axis=-1)[:, ::-1]  # (L, T) desc
     t_tiles = counts.shape[-1]
@@ -1455,7 +1497,7 @@ def _spec_from_counts(scene: Scene, p_count, s_count, pb_count, sb_count,
     _, ks, hot_m = best
     if n == 0:
         hot_m = 0                       # the hot pass is a sphere-only path
-    return (tile, kp, ks, hot_m) + box_spec()
+    return (tile, kp, ks, hot_m) + box_spec() + tail
 
 
 def bounce_cull_counts(scene: Scene, camera, height: int, width: int,
@@ -1548,6 +1590,26 @@ def bounce_cull_counts(scene: Scene, camera, height: int, width: int,
     def child_shadow_counts(scene, co, cd, active):
         hit, _, _ = culled_geometry(scene, co, cd, tile_p, kp_c, 8,
                                     no_shadows, 0, kb_c, 1, active=active)
+        # DISTINCT-winner counts per tile (r5 hot-primary sizing): the hot
+        # pass rebuilds per-tile winner lists capped at Kp for the analytic
+        # backward; Kp must cover the measured winner sets (<< survivor
+        # sets: a 1024-ray tile rarely hits more than a few hundred
+        # distinct objects even when its cone keeps all N)
+        gid_t = hit.obj_id.reshape(t_tiles, tile_p)
+        tt = jnp.arange(t_tiles, dtype=jnp.int32)[:, None]
+
+        def distinct(lo, hi_n):
+            if not hi_n:
+                return jnp.zeros((t_tiles,), jnp.int32)
+            is_w = hit.hit.reshape(t_tiles, tile_p) \
+                & (gid_t >= lo) & (gid_t < lo + hi_n)
+            wm = jnp.zeros((t_tiles, hi_n), jnp.int32).at[
+                tt, jnp.clip(gid_t - lo, 0, hi_n - 1)].max(
+                is_w.astype(jnp.int32))
+            return jnp.sum(wm, axis=-1, dtype=jnp.int32)
+
+        w_cnt = distinct(0, n_sph)
+        wb_cnt = distinct(n_sph, n_box)
         shadow_org = hit.p + hit.n * SHADOW_EPS
         if n_box:
             bc, br = box_bounding_spheres(scene)
@@ -1573,36 +1635,47 @@ def bounce_cull_counts(scene: Scene, camera, height: int, width: int,
                 bcols.append(zero)
         empty = jnp.zeros((0, t_tiles), jnp.int32)
         return (jnp.stack(cols) if cols else empty,
-                jnp.stack(bcols) if bcols else empty)
+                jnp.stack(bcols) if bcols else empty, w_cnt, wb_cnt)
 
     # shadow counts from each live branch's own child hit points; one spec
     # covers both via elementwise max (ADVICE r3)
-    s_count = sb_count = None
+    s_count = sb_count = w_count = wb_count = None
     for active, co, cd in bundles:
-        sc, sbc = child_shadow_counts(scene, co, cd, active)
+        sc, sbc, wc, wbc = child_shadow_counts(scene, co, cd, active)
         s_count = sc if s_count is None else jnp.maximum(s_count, sc)
         sb_count = sbc if sb_count is None else jnp.maximum(sb_count, sbc)
+        w_count = wc if w_count is None else jnp.maximum(w_count, wc)
+        wb_count = wbc if wb_count is None else jnp.maximum(wb_count, wbc)
     if s_count is None:   # statically no live bounce branch
         s_count = sb_count = jnp.zeros((0, t_tiles), jnp.int32)
-    return p_count, s_count, pb_count, sb_count
+        w_count = wb_count = jnp.zeros((t_tiles,), jnp.int32)
+    return p_count, s_count, pb_count, sb_count, w_count, wb_count
 
 
 def suggest_child_cull_config(scene: Scene, camera, height: int, width: int,
                               cull, headroom: float = 1.5, min_k: int = 8,
-                              shadow_lights: tuple | None = None):
+                              shadow_lights: tuple | None = None,
+                              hot_primary: bool = True):
     """Cull spec for the REFLECTION children of a culled trace: measure the
     bounce-bundle survivor counts (bounce_cull_counts) and size with the
     same quantile/hot-tile strategy as the primary spec. ``cull`` is the
     PARENT spec (its tile defines the child tiles — children inherit the
-    parent's tile-major ray order elementwise)."""
+    parent's tile-major ray order elementwise).
+
+    hot_primary=True (default, r5): Kp is a quantile cap plus a hot_p
+    budget of over-cap tiles for the dense global-table pass (a
+    culled_pallas feature, see cull_hot_p). Pass False when the consumer
+    is the XLA child path (accel.bounce_culled_geometry_op), which has no
+    hot pass — it gets the old max-count sizing so nothing truncates."""
     if shadow_lights is None:
         from openglraytracer_tpu.ops.shading import static_shadow_mask
         shadow_lights = static_shadow_mask(scene)
     tile = parse_cull_spec(cull)[0]
-    p_count, s_count, pb_count, sb_count = bounce_cull_counts(
-        scene, camera, height, width, cull, shadow_lights)
+    p_count, s_count, pb_count, sb_count, w_count, wb_count = \
+        bounce_cull_counts(scene, camera, height, width, cull, shadow_lights)
     return _spec_from_counts(scene, p_count, s_count, pb_count, sb_count,
-                             tile, headroom, min_k)
+                             tile, headroom, min_k,
+                             hot_primary=hot_primary, w_count=w_count)
 
 
 def suggest_stack_cull_config(scene: Scene, camera, height: int, width: int,
@@ -1623,5 +1696,26 @@ def suggest_stack_cull_config(scene: Scene, camera, height: int, width: int,
                                       shadow_lights=shadow_lights)
     _, pkp, pks, _, pkb, pksb = parse_cull_spec(prim)
     _, ckp, cks, _, ckb, cksb = parse_cull_spec(child)
-    return (tile, max(pkp, ckp), max(pks, cks), 0,
-            max(pkb, ckb), max(pksb, cksb))
+    # hot_p = EVERY tile (r5): the stack engine reuses one spec for all
+    # 2^(depth+1)-1 DFS steps, and deep refractive bundles' over-cap tile
+    # counts are not bounded by the depth-1 measurement the child spec's
+    # budget comes from (measured: hot_p = 256 left 1675 overflow events
+    # at depth 4 on the 4096-glass grid). The dense pass is trip-count
+    # gated — tiles under the cap scan 0 rows — so an all-tiles budget
+    # costs only the per-step top_k and makes primary-list overflow
+    # structurally impossible; remaining overflow = winner-list overflow
+    # (> kp distinct winners in one tile), still surfaced per step.
+    t_tiles = (height // tile[0]) * (width // tile[1])
+    hot_p = t_tiles if cull_hot_p(child) else 0
+    kp = max(pkp, ckp)
+    if hot_p:
+        # winner-overflow-proof Kp: a tile of tile_p rays hits at most
+        # tile_p distinct objects, so flooring Kp at min(N, tile_p) makes
+        # the posthoc winner lists structurally complete at EVERY depth
+        # (measured: the depth-1-sized cap of 296 left 1675 winner-overflow
+        # events at depth 4 — deep refractive bundles are incoherent enough
+        # that one tile's rays hit >296 distinct spheres)
+        n_obj = int(scene.spheres.count)
+        kp = max(kp, min(n_obj, tile[0] * tile[1]))
+    return (tile, kp, max(pks, cks), 0,
+            max(pkb, ckb), max(pksb, cksb), hot_p)

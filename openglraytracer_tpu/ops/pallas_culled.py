@@ -574,7 +574,7 @@ def _ray_blocks(x, t_tiles: int, br: int):
 def culled_geometry_pallas(scene: Scene, origins, dirs, tile_p: int, kp: int,
                            ks: int, shadow_lights: tuple | None = None,
                            hot_m: int = 0, kb: int = 0, ksb: int = 0,
-                           active=None):
+                           active=None, hot_p: int = 0):
     """accel.culled_geometry with the narrow phases as Mosaic kernels.
 
     Same arguments, same return contract: (Hit (R,), occluded (R, L),
@@ -588,9 +588,26 @@ def culled_geometry_pallas(scene: Scene, origins, dirs, tile_p: int, kp: int,
     Minkowski-expanded spheres), inactive rays forced to miss. The kernels
     run in per_ray mode — survivor rows carry raw geometry and the
     origin-relative terms are computed per ray in VMEM.
-    """
+
+    hot_p > 0 (secondary mode only, r5): HOT-PRIMARY tiles. Bounce-cone
+    survivor counts are extremely heavy-tailed on curved-mirror scenes
+    (c4_mirror4096: p50 = 0 but p90 = N — a tile looking at a sphere's
+    surface reflects across the whole scene), so sizing the static
+    (T, Kp, 8) row gather by the max count was the measured row bottleneck
+    (~100 ms/frame of gathers at Kp = 4096). With hot_p: Kp is a QUANTILE
+    cap; the top-hot_p tiles whose true count exceeds it skip the gathered
+    lists entirely and run a dense pass over the GLOBAL object table — one
+    (N, 8) block, VMEM-resident across the grid, zero gather — which is
+    EXACT (scans every object). Their per-tile survivor lists are then
+    rebuilt posthoc as ascending DISTINCT-WINNER lists so
+    culled_material_rows and the analytic backward work unchanged; a hot
+    tile only reports overflow if its winners exceed Kp (information the
+    backward would actually lose — never silent, same contract as cold
+    overflow)."""
     assert tile_p % LANE == 0, \
         f"culled_pallas needs tile_p % {LANE} == 0 (got {tile_p})"
+    assert hot_p == 0 or active is not None, \
+        "hot_p is a secondary-mode (bounce bundle) feature"
     r_total = origins.shape[0]
     t_tiles = r_total // tile_p
     br = tile_p // LANE
@@ -615,7 +632,10 @@ def culled_geometry_pallas(scene: Scene, origins, dirs, tile_p: int, kp: int,
                if shadow_lights is None or shadow_lights[li])
     scan_total = min(kp, n_sph) + (kb if n_box else 0) \
         + n_on * (min(ks, n_sph) + (ksb if n_box else 0))
-    dynamic = scan_total > _DYNAMIC_THRESHOLD
+    hot_on = (not shared) and hot_p > 0 and (n_sph > 0 or n_box > 0)
+    # the hot pass zeroes cold-kernel trip counts for hot tiles, so it
+    # needs the dynamic-count machinery regardless of scan_total
+    dynamic = scan_total > _DYNAMIC_THRESHOLD or hot_on
 
     dirs_t = dirs.reshape(t_tiles, tile_p, 3)
     if shared:
@@ -679,6 +699,24 @@ def culled_geometry_pallas(scene: Scene, origins, dirs, tile_p: int, kp: int,
     if not shared:
         ox_b, oy_b, oz_b = _ray_blocks(origins, t_tiles, br)
 
+    # ---- hot-primary tile selection (r5, secondary mode): tiles whose
+    # bounce cone kept more objects than the static caps take the dense
+    # global-table pass below; the cold kernel skips them (trip count 0)
+    if hot_on:
+        hp_m = min(hot_p, t_tiles)
+        over = jnp.zeros((t_tiles,), bool)
+        score = jnp.zeros((t_tiles,), jnp.int32)
+        if n_sph:
+            over = over | (p_count > kp_eff)
+            score = score + p_count
+        if n_box and kb_eff < n_box:
+            over = over | (b_count > kb_eff)
+        if n_box:
+            score = score + b_count
+        _, hotp_ids = jax.lax.top_k(jnp.where(over, score, -1), hp_m)
+        hotp_real = jnp.take(over, hotp_ids)                  # (M,)
+        is_hotp = jnp.zeros((t_tiles,), bool).at[hotp_ids].set(hotp_real)
+
     # ---- kernel A: primary narrow phase
     if dynamic:
         sph_rows = _pad_rows(sph_rows, 1)
@@ -686,7 +724,10 @@ def culled_geometry_pallas(scene: Scene, origins, dirs, tile_p: int, kp: int,
         cnt_a = jnp.stack(
             [jnp.minimum(p_count, kp_eff),
              jnp.minimum(b_count, kb_eff)],
-            axis=-1).astype(jnp.int32).reshape(-1)          # flat (2T,)
+            axis=-1).astype(jnp.int32)                      # (T, 2)
+        if hot_on:
+            cnt_a = jnp.where(is_hotp[:, None], 0, cnt_a)
+        cnt_a = cnt_a.reshape(-1)                           # flat (2T,)
     ray_spec = pl.BlockSpec((1, br, LANE), lambda t: (t, 0, 0),
                             memory_space=pltpu.VMEM)
     sph_spec = pl.BlockSpec((1,) + sph_rows.shape[1:], lambda t: (t, 0, 0),
@@ -714,6 +755,59 @@ def culled_geometry_pallas(scene: Scene, origins, dirs, tile_p: int, kp: int,
         + (() if shared else (ox_b, oy_b, oz_b))))
     t_b, nx_b, ny_b, nz_b, ins_b, mat_b, gid_b, slot_b = outs
 
+    # ---- hot-primary dense pass: the same per-ray kernel over the GLOBAL
+    # object tables — one (N, 8)/(Nb, 24) block with a constant index map
+    # (VMEM-resident across the grid, zero gather), trip count = N on the
+    # truly-hot tiles, 0 on the top-k slack. EXACT: every object scanned.
+    if hot_on:
+        if n_sph:
+            g_sph = _pad_rows(_secondary_sphere_rows(
+                scene, jnp.arange(n_sph, dtype=jnp.int32)[None, :],
+                jnp.ones((1, n_sph), bool)), 1)
+        else:
+            g_sph = jnp.zeros((1, 1, 8), dtype)
+        if n_box:
+            g_box = _pad_rows(_secondary_box_rows(
+                scene, jnp.arange(n_box, dtype=jnp.int32)[None, :],
+                jnp.ones((1, n_box), bool)), 1)
+        else:
+            g_box = jnp.zeros((1, 1, 24), dtype)
+        n_gp = g_sph.shape[1] if n_sph else 0
+        n_gb = g_box.shape[1] if n_box else 0
+        cnt_h = jnp.stack(
+            [jnp.where(hotp_real, n_sph, 0),
+             jnp.where(hotp_real, n_box, 0)],
+            axis=-1).astype(jnp.int32).reshape(-1)          # flat (2M,)
+        take_h = functools.partial(jnp.take, indices=hotp_ids, axis=0)
+        hot_in = tuple(take_h(b) for b in (dx, dy, dz, ox_b, oy_b, oz_b))
+        g_sph_spec = pl.BlockSpec((1,) + g_sph.shape[1:],
+                                  lambda t: (0, 0, 0),
+                                  memory_space=pltpu.VMEM)
+        g_box_spec = pl.BlockSpec((1,) + g_box.shape[1:],
+                                  lambda t: (0, 0, 0),
+                                  memory_space=pltpu.VMEM)
+        hblk = functools.partial(jax.ShapeDtypeStruct, (hp_m, br, LANE))
+        outs_h = pl.pallas_call(
+            functools.partial(_primary_kernel, n_gp, n_gb, n_pln, True,
+                              True),
+            grid=(hp_m,),
+            in_specs=[cnt_a_spec, g_sph_spec, g_box_spec, full]
+            + [ray_spec] * 6,
+            out_specs=[ray_spec] * 8,
+            out_shape=[hblk(dtype)] * 8,
+            interpret=interpret,
+        )(cnt_h, g_sph, g_box, pln_tab, *hot_in)
+
+        def hmerge(x_full, x_hot):
+            cur = jnp.take(x_full, hotp_ids, axis=0)
+            return x_full.at[hotp_ids].set(
+                jnp.where(hotp_real[:, None, None], x_hot, cur))
+
+        (t_b, nx_b, ny_b, nz_b, ins_b, mat_b, gid_b, slot_b) = tuple(
+            hmerge(xf, xh) for xf, xh in
+            zip((t_b, nx_b, ny_b, nz_b, ins_b, mat_b, gid_b, slot_b),
+                outs_h))
+
     t_flat = t_b.reshape(-1)
     n = jnp.stack([nx_b.reshape(-1), ny_b.reshape(-1), nz_b.reshape(-1)],
                   axis=-1)
@@ -732,6 +826,51 @@ def culled_geometry_pallas(scene: Scene, origins, dirs, tile_p: int, kp: int,
     is_box_w = hit_mask & (gid_flat >= n_sph) & (gid_flat < n_sph + n_box)
     j_local = jnp.where(is_sph_w.reshape(t_tiles, tile_p), slot_flat, -1)
     jb_local = jnp.where(is_box_w.reshape(t_tiles, tile_p), slot_flat, -1)
+
+    # ---- posthoc winner lists for hot tiles: the dense pass reports
+    # GLOBAL row ids in gid/slot; rebuild ascending distinct-winner lists
+    # (idx/valid/count capped at Kp/Kb — overflow = winners the backward
+    # would lose, surfaced through the count contract) and re-rank
+    # j_local/jb_local into them, so culled_material_rows and _culled_bwd
+    # consume hot tiles exactly like cold ones.
+    if hot_on:
+        gid_t = gid_flat.reshape(t_tiles, tile_p)
+        hitm_h = jnp.take(hit_mask.reshape(t_tiles, tile_p), hotp_ids,
+                          axis=0) & hotp_real[:, None]
+        gid_h = jnp.take(gid_t, hotp_ids, axis=0)            # (M, P)
+        ii = jnp.arange(hp_m, dtype=jnp.int32)[:, None]
+
+        def splice(full, hot_rows):
+            cur = jnp.take(full, hotp_ids, axis=0)
+            sel = hotp_real.reshape((hp_m,) + (1,) * (cur.ndim - 1))
+            return full.at[hotp_ids].set(jnp.where(sel, hot_rows, cur))
+
+        def winner_lists(lo, n_obj, k_eff):
+            win = hitm_h & (gid_h >= lo) & (gid_h < lo + n_obj)
+            loc = jnp.clip(gid_h - lo, 0, n_obj - 1)
+            wm = jnp.zeros((hp_m, n_obj), jnp.int32).at[ii, loc].max(
+                win.astype(jnp.int32)) > 0
+            w_idx, w_valid, w_cnt = compact_mask(wm, k_eff)
+            pref = jnp.cumsum(wm.astype(jnp.int32), axis=1)
+            rank = jnp.take_along_axis(pref, loc, axis=1) - 1
+            # winner-overflow ranks (>= k_eff) fall off the list: mark -1
+            # ("not this list's winner") — the tile's count > k flags it
+            jl = jnp.where(win & (rank < k_eff), rank, -1)
+            return w_idx, w_valid, w_cnt, jl
+
+        if n_sph:
+            w_idx, w_valid, w_cnt, jl_h = winner_lists(0, n_sph, kp_eff)
+            p_idx = splice(p_idx, w_idx)
+            p_valid = splice(p_valid, w_valid)
+            p_count = splice(p_count, w_cnt)
+            j_local = splice(j_local, jl_h)
+        if n_box:
+            wb_idx, wb_valid, wb_cnt, jb_h = winner_lists(n_sph, n_box,
+                                                          kb_eff)
+            b_idx = splice(b_idx, wb_idx)
+            b_valid = splice(b_valid, wb_valid)
+            b_count = splice(b_count, wb_cnt)
+            jb_local = splice(jb_local, jb_h)
 
     t_for_p = jnp.where(hit_mask, t_flat, 0.0)
     p = origins + t_for_p[:, None] * dirs
@@ -917,30 +1056,33 @@ def _cp_bwd(tile_p, kp, ks, shadow_lights, hot_m, kb, ksb, res, g):
 culled_pallas_geometry_op.defvjp(_cp_fwd, _cp_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
 def bounce_culled_pallas_geometry_op(scene: Scene, origins, dirs, active,
                                      tile_p: int, kp: int, ks: int,
                                      shadow_lights: tuple | None = None,
                                      hot_m: int = 0, kb: int = 0,
-                                     ksb: int = 0):
+                                     ksb: int = 0, hot_p: int = 0):
     """culled_geometry_pallas in SECONDARY-RAY mode with the same analytic
     VJP as accel.bounce_culled_geometry_op (the backward replays per-ray
     and never assumed a pinhole — reused verbatim, exactly as the primary
-    pallas op reuses _culled_bwd)."""
+    pallas op reuses _culled_bwd). hot_p > 0 adds the dense global-table
+    pass for over-cap tiles (see culled_geometry_pallas); the posthoc
+    winner lists keep the shared backward exact on hot tiles too."""
     return culled_geometry_pallas(scene, origins, dirs, tile_p, kp, ks,
                                   shadow_lights, hot_m, kb, ksb,
-                                  active=active)
+                                  active=active, hot_p=hot_p)
 
 
 def _bcp_fwd(scene, origins, dirs, active, tile_p, kp, ks, shadow_lights,
-             hot_m, kb, ksb):
+             hot_m, kb, ksb, hot_p):
     hit, occ, aux = culled_geometry_pallas(scene, origins, dirs, tile_p, kp,
                                            ks, shadow_lights, hot_m, kb, ksb,
-                                           active=active)
+                                           active=active, hot_p=hot_p)
     return (hit, occ, aux), (scene, origins, dirs, hit, aux, active.shape)
 
 
-def _bcp_bwd(tile_p, kp, ks, shadow_lights, hot_m, kb, ksb, res, g):
+def _bcp_bwd(tile_p, kp, ks, shadow_lights, hot_m, kb, ksb, hot_p, res, g):
     from openglraytracer_tpu.ops.accel import _bounce_culled_bwd
     return _bounce_culled_bwd(tile_p, kp, ks, shadow_lights, hot_m, kb, ksb,
                               res, g)

@@ -251,6 +251,7 @@ def _trace_child_culled(scene: Scene, origins, dirs, active, depth: int,
     now stay on the kernel path (tile_p must be 128-aligned, which the
     culled_pallas parent already guarantees)."""
     from openglraytracer_tpu.ops.accel import (bounce_culled_geometry_op,
+                                               cull_hot_p,
                                                cull_overflow_count,
                                                culled_material_rows,
                                                parse_cull_spec)
@@ -259,7 +260,12 @@ def _trace_child_culled(scene: Scene, origins, dirs, active, depth: int,
     tile_p, kp, ks, hot_m, kb, ksb = parse_cull_spec(child_cull)
     if pallas:
         from openglraytracer_tpu.ops.pallas_culled import (
-            bounce_culled_pallas_geometry_op as bounce_op)
+            bounce_culled_pallas_geometry_op)
+        # hot-primary tiles (r5): over-cap bounce tiles take the dense
+        # global-table kernel pass — a Mosaic-path feature (the XLA child
+        # path keeps max-sized lists)
+        hp = cull_hot_p(child_cull)
+        bounce_op = partial(bounce_culled_pallas_geometry_op, hot_p=hp)
     else:
         bounce_op = bounce_culled_geometry_op
     hit, occ, aux = bounce_op(scene, origins, dirs, active,
@@ -384,7 +390,8 @@ def trace_rays_stack(scene: Scene, origins, dirs, depth: int,
     has_refl, has_refr = bounce_mask
     culled = cull is not None
     if culled:
-        from openglraytracer_tpu.ops.accel import (cull_overflow_count,
+        from openglraytracer_tpu.ops.accel import (cull_hot_p,
+                                                   cull_overflow_count,
                                                    culled_material_rows,
                                                    parse_cull_spec)
         assert engine in ("culled", "culled_pallas"), \
@@ -394,7 +401,11 @@ def trace_rays_stack(scene: Scene, origins, dirs, depth: int,
             tile_p = tile_p[0] * tile_p[1]
         if engine == "culled_pallas":
             from openglraytracer_tpu.ops.pallas_culled import (
-                bounce_culled_pallas_geometry_op as bounce_op)
+                bounce_culled_pallas_geometry_op)
+            # every DFS step is a bounce bundle: over-cap tiles take the
+            # dense global pass, so kp can be the stack spec's quantile cap
+            bounce_op = partial(bounce_culled_pallas_geometry_op,
+                                hot_p=cull_hot_p(cull))
         else:
             from openglraytracer_tpu.ops.accel import (
                 bounce_culled_geometry_op as bounce_op)
@@ -681,6 +692,7 @@ def _render_jit(scene: Scene, camera: Camera, height: int, width: int,
             # culled_pallas). The spec must cover bounce bundles too: size
             # it with suggest_child_cull_config-style headroom; overflow is
             # counted per step and summed (never silent).
+            from openglraytracer_tpu.ops.accel import cull_hot_p
             (sth, stw), skp, sks, shot, skb, sksb = parse_cull_spec(cull)
             so = tile_image(origins, sth, stw).reshape(-1, 3)
             sd = tile_image(dirs, sth, stw).reshape(-1, 3)
@@ -688,7 +700,7 @@ def _render_jit(scene: Scene, camera: Camera, height: int, width: int,
                                    shadow_lights=shadow_lights,
                                    bounce_mask=bounce_mask,
                                    cull=(sth * stw, skp, sks, shot, skb,
-                                         sksb),
+                                         sksb, cull_hot_p(cull)),
                                    with_cull_stats=with_cull_stats)
             if with_cull_stats:
                 colors, ovf = out
@@ -703,12 +715,14 @@ def _render_jit(scene: Scene, camera: Camera, height: int, width: int,
         d = tile_image(dirs, th, tw).reshape(-1, 3)
         cc = None
         if child_cull is not None:
+            from openglraytracer_tpu.ops.accel import cull_hot_p
             (cth, ctw), ckp, cks, chot, ckb, cksb = \
                 parse_cull_spec(child_cull)
             assert (cth, ctw) == (th, tw), \
                 "child_cull tile must match cull tile (children inherit " \
                 "the parent's tile-major ray order)"
-            cc = (cth * ctw, ckp, cks, chot, ckb, cksb)
+            cc = (cth * ctw, ckp, cks, chot, ckb, cksb,
+                  cull_hot_p(child_cull))
         out = trace_rays_fast(scene, o, d, depth, chunk_size=chunk_size,
                               engine=engine,
                               cull=(th * tw, kp, ks, hot_m, kb, ksb),

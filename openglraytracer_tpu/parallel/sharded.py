@@ -74,10 +74,12 @@ def render_sharded(scene: Scene, camera: Camera, height: int, width: int,
             # bounce children of the culled per-device trace go through the
             # secondary-ray cone path, same spec contract as ops/render.render
             # (ADVICE r3: previously unreachable from the sharded/fit path)
+            from openglraytracer_tpu.ops.accel import cull_hot_p
             (xth, xtw), ckp, cks, chot, ckb, cksb = parse_cull_spec(child_cull)
             assert (xth, xtw) == (cth, ctw), \
                 "child_cull tile must match cull tile"
-            cc = (xth * xtw, ckp, cks, chot, ckb, cksb)
+            cc = (xth * xtw, ckp, cks, chot, ckb, cksb,
+                  cull_hot_p(child_cull))
 
         def tile_fn(scene_rep, o_tile, d_tile):
             o = tile_image(o_tile, cth, ctw).reshape(-1, 3)

@@ -191,9 +191,16 @@ def test_bounce_counts_cover_observed():
     """bounce_cull_counts' maxima really bound what the child pass uses."""
     scene, cam = _mirror_scene()
     cull, child = _specs(scene, cam)
-    p_count, s_count, _, _ = bounce_cull_counts(scene, cam, H, W, cull)
+    p_count, s_count, _, _, w_count, _ = bounce_cull_counts(
+        scene, cam, H, W, cull)
     _, kp_c, ks_c, _, _, _ = parse_cull_spec(child)
-    assert int(jnp.max(p_count)) <= kp_c
+    # r5: Kp is a quantile cap; tiles over it must fit the hot-primary
+    # budget (dense global-table pass), and the posthoc winner lists the
+    # hot pass rebuilds must fit Kp (measured distinct winners)
+    from openglraytracer_tpu.ops.accel import cull_hot_p
+    over = int(np.sum(np.asarray(p_count) > kp_c))
+    assert over <= cull_hot_p(child)
+    assert int(np.max(np.asarray(w_count))) <= kp_c
     assert int(np.max(np.asarray(s_count))) <= ks_c
 
 
