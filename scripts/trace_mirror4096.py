@@ -43,10 +43,13 @@ def main():
     o = tile_image(origins, *tile).reshape(-1, 3)
     d = tile_image(dirs, *tile).reshape(-1, 3)
     cull = (tile_side * tile_side, kp, ks, hot_m, kb, ksb)
+    from openglraytracer_tpu.ops.accel import cull_hot_p
     cspec = suggest_child_cull_config(scene, cam, h, w, spec,
-                                      shadow_lights=sm)
+                                      shadow_lights=sm,
+                                      hot_primary=(engine == "culled_pallas"))
     _, ckp, cks, chot, ckb, cksb = parse_cull_spec(cspec)
-    child_cull = (tile_side * tile_side, ckp, cks, chot, ckb, cksb)
+    child_cull = (tile_side * tile_side, ckp, cks, chot, ckb, cksb,
+                  cull_hot_p(cspec))
     print("cull", cull[1:], "child_cull", child_cull[1:])
 
     f = jax.jit(lambda s: trace_rays_fast(s, o, d, depth, engine=engine,
